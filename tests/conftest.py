@@ -1,0 +1,27 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding paths
+(`shard_map` over a Mesh) run in CI without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+from flash_viterbi_tpu.models.generate import make_sparse_hmm
+
+
+@pytest.fixture(scope="session")
+def small_problem():
+    """K=64, T=32 sparse HMM — small enough for exhaustive parity checks."""
+    hmm, y = make_sparse_hmm(K=64, M=12, T=32, prob=0.3, seed=7)
+    return hmm, y
+
+
+@pytest.fixture(scope="session")
+def medium_problem():
+    hmm, y = make_sparse_hmm(K=128, M=20, T=64, prob=0.2, seed=3)
+    return hmm, y

@@ -1,0 +1,84 @@
+"""JAX decoder correctness: bit-exact vs the framework-semantics numpy
+mirrors, cross-algorithm equality, and padding invariance."""
+
+import jax
+import numpy as np
+import pytest
+
+from flash_viterbi_tpu import decode
+from flash_viterbi_tpu.oracle import framework as ofw
+from flash_viterbi_tpu.oracle import reference as oref
+
+
+def test_vanilla_matches_numpy_mirror(small_problem):
+    hmm, y = small_problem
+    want = ofw.vanilla(hmm.A, hmm.B, hmm.Pi, y)
+    got = decode(hmm, y, algorithm="vanilla", warmup=False)
+    np.testing.assert_array_equal(got.path, want)
+
+
+def test_vanilla_matches_reference_f32_semantics(small_problem):
+    """The framework numerics contract == oracle.reference numerics='f32'."""
+    hmm, y = small_problem
+    want = oref.vanilla(hmm.A, hmm.B, hmm.Pi, y, numerics="f32")
+    got = decode(hmm, y, algorithm="vanilla", warmup=False)
+    np.testing.assert_array_equal(got.path, want)
+
+
+@pytest.mark.parametrize("step", [0, 3, 5])
+def test_checkpoint_equals_vanilla(small_problem, step):
+    hmm, y = small_problem
+    v = decode(hmm, y, algorithm="vanilla", warmup=False)
+    c = decode(hmm, y, algorithm="checkpoint", step=step, warmup=False)
+    np.testing.assert_array_equal(v.path, c.path)
+
+
+@pytest.mark.parametrize("mode", ["pointer", "lean"])
+@pytest.mark.parametrize("segments", [1, 2, 4, 7])
+def test_flash_equals_vanilla(small_problem, mode, segments):
+    hmm, y = small_problem
+    v = decode(hmm, y, algorithm="vanilla", warmup=False)
+    f = decode(hmm, y, algorithm="flash", num_segments=segments, mode=mode, warmup=False)
+    np.testing.assert_array_equal(v.path, f.path)
+
+
+@pytest.mark.parametrize("segments", [1, 4])
+def test_flash_medium(medium_problem, segments):
+    hmm, y = medium_problem
+    v = decode(hmm, y, algorithm="vanilla", warmup=False)
+    f = decode(hmm, y, algorithm="flash", num_segments=segments, warmup=False)
+    np.testing.assert_array_equal(v.path, f.path)
+
+
+def test_flash_bs_full_beam_equals_vanilla(small_problem):
+    hmm, y = small_problem
+    v = decode(hmm, y, algorithm="vanilla", warmup=False)
+    f = decode(hmm, y, algorithm="flash_bs", beam_width=hmm.K, num_segments=4,
+               pad_to=1, warmup=False)
+    np.testing.assert_array_equal(v.path, f.path)
+
+
+@pytest.mark.parametrize("beam,segments", [(16, 1), (16, 4), (32, 4)])
+def test_flash_bs_matches_numpy_mirror(small_problem, beam, segments):
+    hmm, y = small_problem
+    want = ofw.flash_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=beam, num_segments=segments)
+    got = decode(hmm, y, algorithm="flash_bs", beam_width=beam,
+                 num_segments=segments, pad_to=1, warmup=False)
+    np.testing.assert_array_equal(got.path, want)
+
+
+def test_padding_invariance(small_problem):
+    """Padding the state dimension must never change the decoded path."""
+    hmm, y = small_problem
+    p1 = decode(hmm, y, algorithm="flash", num_segments=4, pad_to=1, warmup=False)
+    p128 = decode(hmm, y, algorithm="flash", num_segments=4, pad_to=128, warmup=False)
+    np.testing.assert_array_equal(p1.path, p128.path)
+
+
+def test_decode_result_protocol(small_problem):
+    hmm, y = small_problem
+    r = decode(hmm, y, algorithm="vanilla", warmup=False)
+    out = r.reference_stdout()
+    assert out.startswith("time: ")
+    assert "path: [" in out and "memory: " in out
+    assert r.memory_bytes > 0

@@ -1,0 +1,59 @@
+"""Bit-exact parity: our numpy oracle vs the compiled reference C programs.
+
+This is the framework's golden-path anchor (SURVEY.md §4): generate seeded
+fixtures, run the actual reference binaries on them, and require identical
+``path:`` output from ``oracle.reference`` with ``numerics="c"``.
+"""
+
+import numpy as np
+import pytest
+
+from flash_viterbi_tpu.models.generate import make_sparse_hmm
+from flash_viterbi_tpu.oracle import reference as oref
+from flash_viterbi_tpu.utils.io import save_dataset
+
+from .ref_compile import build_and_run, have_gcc, have_glib
+
+pytestmark = pytest.mark.skipif(not have_gcc(), reason="gcc not available")
+
+K, M, T, PROB, SEED = 64, 12, 32, 0.3, 7
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ref_data")
+    hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=PROB, seed=SEED)
+    save_dataset(str(d), hmm, y, prob=PROB)
+    return str(d), hmm, y
+
+
+def test_vanilla_bit_parity(fixture_dir, tmp_path):
+    d, hmm, y = fixture_dir
+    want = build_and_run("vanilla", str(tmp_path), K, M, T, PROB, d)
+    got = oref.vanilla(hmm.A, hmm.B, hmm.Pi, y, numerics="c")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_checkpoint_bit_parity(fixture_dir, tmp_path):
+    d, hmm, y = fixture_dir
+    want = build_and_run("checkpoint", str(tmp_path), K, M, T, PROB, d)
+    got = oref.checkpoint(hmm.A, hmm.B, hmm.Pi, y, numerics="c")
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("threads", [1, 2, 4])
+def test_flash_bit_parity(fixture_dir, tmp_path, threads):
+    d, hmm, y = fixture_dir
+    want = build_and_run("flash", str(tmp_path), K, M, T, PROB, d, threads=threads)
+    got = oref.flash(hmm.A, hmm.B, hmm.Pi, y, threads=threads, numerics="c")
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("threads,beam", [(1, 16), (4, 16), (4, 32)])
+def test_flash_bs_bit_parity(fixture_dir, tmp_path, threads, beam):
+    d, hmm, y = fixture_dir
+    want = build_and_run("flash_bs", str(tmp_path), K, M, T, PROB, d,
+                         threads=threads, beam=beam)
+    got = oref.flash_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=beam,
+                        threads=threads, numerics="c")
+    np.testing.assert_array_equal(got, want)
