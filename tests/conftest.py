@@ -3,10 +3,17 @@
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon TPU plugin registers itself from sitecustomize.py (before conftest
+# runs) whenever PALLAS_AXON_POOL_IPS is set, and wins over the JAX_PLATFORMS
+# env var; only a config update after import reliably pins tests to the
+# virtual-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
