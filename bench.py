@@ -1,9 +1,16 @@
-"""Headline benchmark: FLASH full-state decode, K=3965, T=256 (paper config).
+"""Headline benchmark: fused full-state decode, K=3965, T=256 (paper config).
 
 Prints ONE JSON line: trellis updates (K^2*T)/s on one chip, compared to the
 reference C SIEVE-Mp baseline at the same config (672.6 s == 5.98 M updates/s,
 /root/reference/README.md:79 — see BASELINE.md).  Exact path parity against
 the framework's numpy oracle is asserted before reporting.
+
+Timing methodology: the TPU here sits behind an async tunnel whose
+``block_until_ready`` does not synchronize and whose synced dispatch has a
+~25 ms fixed floor; we therefore time chains of k data-dependent decodes in
+a single dispatch (forced scalar readback) and report the marginal cost
+(T(k2) - T(k1)) / (k2 - k1), which cancels both the floor and the enqueue
+overhead.
 """
 
 from __future__ import annotations
@@ -16,6 +23,7 @@ import numpy as np
 
 K, M, T, PROB, SEED = 3965, 50, 256, 0.112, 1
 BASELINE_UPDATES_PER_S = (3965.0**2 * 256.0) / 672.6  # C SIEVE-Mp, README.md:79
+K1, K2 = 1, 5  # chain lengths for marginal timing
 
 
 def main() -> None:
@@ -26,31 +34,47 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from flash_viterbi_tpu import build, make_sparse_hmm
+    from flash_viterbi_tpu import make_sparse_hmm
+    from flash_viterbi_tpu.algorithms.fused import fused_decode
     from flash_viterbi_tpu.oracle import framework as oracle
 
     dev = jax.devices()[0]
+    on_tpu = jax.default_backend() == "tpu"
     print(f"# device: {dev}", file=sys.stderr)
 
     hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=PROB, seed=SEED)
     lh = hmm.log().padded(128)
+    logA = jnp.asarray(lh.logA)
+    logB = jnp.asarray(lh.logB)
+    logPi0 = jnp.asarray(lh.logPi)
+    yd = jnp.asarray(y, jnp.int32)
 
-    dec = build("flash", num_segments=8, mode="pointer")
-    logA = jax.device_put(jnp.asarray(lh.logA), dev)
-    logB = jax.device_put(jnp.asarray(lh.logB), dev)
-    logPi = jax.device_put(jnp.asarray(lh.logPi), dev)
-    yd = jax.device_put(jnp.asarray(y, jnp.int32), dev)
+    def chain(k: int):
+        @jax.jit
+        def f(logPi):
+            p = None
+            for _ in range(k):
+                p = fused_decode(logA, logB, logPi, yd)
+                # data dependency that provably cannot change logPi's bits
+                logPi = logPi + p[0].astype(jnp.float32) * jnp.float32(1e-30)
+            return p
+        return f
 
-    fn = jax.jit(dec)
-    path = np.asarray(jax.block_until_ready(fn(logA, logB, logPi, yd)))  # compile
+    f1, f2 = chain(K1), chain(K2)
+    path = np.asarray(f1(logPi0))  # compile + correctness sample
+    int(f2(logPi0)[0])  # compile
 
-    reps = 5
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(logA, logB, logPi, yd))
-        times.append(time.perf_counter() - t0)
-    wall = float(np.median(times))
+    def run(f, reps=3):
+        ts = []
+        for i in range(reps):
+            arg = logPi0 + jnp.float32(i) * jnp.float32(1e-30)
+            t0 = time.perf_counter()
+            int(f(arg)[0])  # forced readback = real sync
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t1, t2 = run(f1), run(f2)
+    wall = max((t2 - t1) / (K2 - K1), 1e-9)
 
     want = oracle.vanilla(hmm.A, hmm.B, hmm.Pi, y)
     parity = bool((path[:T] == want).all())
@@ -65,7 +89,7 @@ def main() -> None:
         "unit": "updates/s",
         "vs_baseline": updates_per_s / BASELINE_UPDATES_PER_S,
         "wall_s": wall,
-        "config": f"K={K},T={T},prob={PROB},flash pointer N=8",
+        "config": f"K={K},T={T},prob={PROB},fused pallas={on_tpu}",
         "exact_path_parity": parity,
         "device": str(dev),
     }))

@@ -49,8 +49,8 @@ def beam_step(vals, states, logA, emit):
        best_slot (K,) int32 argmax beam slot per destination).
     """
     rows = logA[states]  # (B, K)
-    scores = (emit[None, :] + vals[:, None]) + rows
-    return jnp.max(scores, axis=0), jnp.argmax(scores, axis=0).astype(jnp.int32)
+    scores = vals[:, None] + rows
+    return jnp.max(scores, axis=0) + emit, jnp.argmax(scores, axis=0).astype(jnp.int32)
 
 
 def _phase1_beam(logA, logPi, emits, mids, B: int):

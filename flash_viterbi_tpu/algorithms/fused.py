@@ -1,0 +1,53 @@
+"""Fused full-state decoder — the framework's flagship TPU speed path.
+
+One Pallas kernel runs the whole forward recursion at HBM speed-of-light
+(~84 us/step at K=4096 vs ~200 us for the XLA scan, see ``ops.pallas``),
+materializing the full pointer table; backtrack is a reverse scan of O(1)
+gathers.  Decoded paths are bit-identical to ``vanilla`` (same framework
+numerics contract, verified in tests).
+
+Capability mapping vs the reference: this is the TPU-native replacement for
+the *performance* role of FLASH (``src/FLASH_Viterbi_multithread.c``) at
+moderate T — on TPU the full pointer table at K=4096, T=256 is 4 MB of HBM,
+so the reference's two-phase anchor scheme buys nothing; the phases
+collapse into one fused pass.  The O(N*K)-memory FLASH semantics (for long
+T) live in ``algorithms.flash``; the sharded multi-chip path in
+``parallel.sharded``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import maxplus as mp
+from ..ops.pallas.maxplus import forward_scan_pallas
+from .base import Decoder, register
+
+
+def fused_decode(logA, logB, logPi, y, use_pallas: bool | str = "auto"):
+    emits = logB[:, y].T  # (T, K)
+    delta0 = logPi + emits[0]
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        interpret = jax.default_backend() != "tpu"
+        dfin, ptrs = forward_scan_pallas(delta0, logA, emits[1:],
+                                         interpret=interpret)
+    else:
+        dfin, ptrs = mp.forward_scan(delta0, logA, emits[1:])
+    last = mp.argmax_final(dfin)
+    return mp.backtrack(ptrs, last)
+
+
+def _memory(K: int, T: int, **_) -> int:
+    # full pointer table + delta carry/accumulators (ops/pallas/maxplus.py)
+    return T * K * 4 + 4 * K * 4
+
+
+@register("fused")
+def _build(use_pallas: bool | str = "auto", **static) -> Decoder:
+    def fn(logA, logB, logPi, y):
+        return fused_decode(logA, logB, logPi, y, use_pallas=use_pallas)
+
+    return Decoder("fused", fn, {"use_pallas": use_pallas, **static}, _memory)

@@ -2,12 +2,17 @@
 
 One Viterbi trellis step is a max-plus matvec with an argmax witness::
 
-    delta'[i] = max_k ( (logB[i, y_t] + delta[k]) + logA[k, i] )
+    delta'[i] = max_k ( delta[k] + logA[k, i] ) + logB[i, y_t]
     ptr[i]    = argmin-index k attaining the max (lowest k on ties)
 
-The fp32 evaluation order ``(logB + delta) + logA`` is the framework's
-numerics contract (matches ``oracle.reference`` ``numerics="f32"``, and the
-reference FLASH C sum order at ``src/FLASH_Viterbi_multithread.c:170``).
+The fp32 evaluation order — inner sum ``delta + logA``, emission added
+*after* the max — is the framework's numerics contract (matches
+``oracle.reference`` ``numerics="f32"``).  The emission term is constant
+over the source index k, so the argmax is unchanged in exact arithmetic vs
+the reference C's in-loop 3-term sum (``src/FLASH_Viterbi_multithread.c:170``,
+which computes in double and truncates once — both orders are equally close
+to it); hoisting it out of the K² inner loop removes a full K×K add per
+trellis step and is the layout the Pallas kernel wants.
 ``jnp.argmax`` returns the first occurrence, matching the reference's
 strict-``>`` scans (SURVEY.md §3.6).
 
@@ -35,14 +40,14 @@ def maxplus_step(delta: jax.Array, logA: jax.Array, emit: jax.Array):
     Returns:
       (delta', ptr): (K,) fp32 new scores and (K,) int32 argmax witnesses.
     """
-    scores = (emit[None, :] + delta[:, None]) + logA  # (k_src, i_dst)
-    return jnp.max(scores, axis=0), jnp.argmax(scores, axis=0).astype(jnp.int32)
+    scores = delta[:, None] + logA  # (k_src, i_dst)
+    return jnp.max(scores, axis=0) + emit, jnp.argmax(scores, axis=0).astype(jnp.int32)
 
 
 def maxplus_step_noptr(delta: jax.Array, logA: jax.Array, emit: jax.Array):
     """Pointer-free step (for score-only passes, e.g. checkpoint forward)."""
-    scores = (emit[None, :] + delta[:, None]) + logA
-    return jnp.max(scores, axis=0)
+    scores = delta[:, None] + logA
+    return jnp.max(scores, axis=0) + emit
 
 
 def init_delta(logPi: jax.Array, logB: jax.Array, y0: jax.Array) -> jax.Array:

@@ -1,0 +1,153 @@
+"""Fused Pallas TPU kernel for the max-plus trellis scan.
+
+One `pallas_call` runs the ENTIRE forward recursion
+
+    delta_t[n, i] = max_k( delta_{t-1}[n, k] + logA[k, i] ) + emit_t[n, i]
+    ptr_t[n, i]   = argmax_k(...)          (lowest k on ties)
+
+for all T' steps and N independent lanes (N=1: one sequence; N>1: the
+batched per-segment decode of FLASH phase 2).  The XLA version
+(``ops.maxplus.forward_scan``) materializes the (K, K) score tensor in HBM
+every step — ~3x the speed-of-light HBM traffic; this kernel streams
+``logA`` tiles through VMEM once per step (the only irreducible traffic)
+and keeps the carry, accumulators and pointer row on chip — the VMEM
+double-buffering of the reference's FPGA PROB_CACHE/STATE_CACHE ping-pong
+(SURVEY.md §2.5) and the TPU replacement for the reference's K² inner loop
+(``src/FLASH_Viterbi_multithread.c:159-183``).
+
+Grid: ``(T', K // BK)``; TPU grids iterate sequentially, so VMEM scratch
+carries ``delta`` across steps.  Source tiles are visited in ascending
+order and combined with a strictly-greater compare, so the argmax witness
+is the global lowest index — bit-identical to ``jnp.argmax`` and the
+framework numerics contract (``ops.maxplus``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+# Per-buffer VMEM budget for the logA tile (double-buffered by the pipeline).
+_TILE_BYTES = 4 * 1024 * 1024
+
+
+def _pick_bk(K: int) -> int:
+    for bk in (512, 256, 128, 64, 32, 16, 8):
+        if K % bk == 0 and bk * K * 4 <= _TILE_BYTES:
+            return bk
+    raise ValueError(f"K={K} must be a multiple of 8 (pad the model first)")
+
+
+def _scan_kernel(delta0T_ref, logA_ref, emits_ref, dfin_ref, ptr_ref,
+                 dcol_ref, accv_ref, acca_ref, *, N: int, BK: int):
+    t = pl.program_id(0)
+    kt = pl.program_id(1)
+    KT = pl.num_programs(1)
+
+    @pl.when((t == 0) & (kt == 0))
+    def _():
+        dcol_ref[:] = delta0T_ref[:]
+
+    tile = logA_ref[:]  # (BK, K)
+    d_col = dcol_ref[pl.ds(kt * BK, BK), :]  # (BK, N)
+
+    K = tile.shape[1]
+    # source-index plane for lowest-index tie-breaking (Mosaic's argmax does
+    # not guarantee first-occurrence on exact fp32 ties)
+    src_idx = jax.lax.broadcasted_iota(jnp.int32, (BK, K), 0) + kt * BK
+
+    for n in range(N):  # static unroll; N is 1 (scan) or the segment count
+        tmp = d_col[:, n:n + 1] + tile  # (BK, K)
+        val = jnp.max(tmp, axis=0, keepdims=True)  # (1, K)
+        loc = jnp.min(jnp.where(tmp == val, src_idx, K + kt * BK),
+                      axis=0, keepdims=True)
+
+        @pl.when(kt == 0)
+        def _():
+            accv_ref[n:n + 1, :] = val
+            acca_ref[n:n + 1, :] = loc
+
+        @pl.when(kt > 0)
+        def _():
+            prev = accv_ref[n:n + 1, :]
+            better = val > prev  # strict: earlier (lower-k) tile wins ties
+            acca_ref[n:n + 1, :] = jnp.where(better, loc, acca_ref[n:n + 1, :])
+            accv_ref[n:n + 1, :] = jnp.where(better, val, prev)
+
+    @pl.when(kt == KT - 1)
+    def _():
+        newd = accv_ref[:] + emits_ref[0, :, :]  # (N, K)
+        ptr_ref[0, :, :] = acca_ref[:]
+        dfin_ref[:] = newd
+        dcol_ref[:] = jnp.transpose(newd)  # carry for step t+1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def maxplus_scan(logA: jax.Array, emits: jax.Array, delta0: jax.Array,
+                 interpret: bool = False):
+    """Run the fused forward scan.
+
+    Args:
+      logA:   (K, K) fp32, source k rows -> dest i cols.
+      emits:  (T', N, K) fp32 log emission rows for steps 1..T'.
+      delta0: (N, K) fp32 scores at step 0.
+      interpret: run in the Pallas interpreter (CPU testing).
+
+    Returns:
+      (delta_final (N, K) fp32, ptrs (T', N, K) int32).
+    """
+    Tm, N, K = emits.shape
+    assert logA.shape == (K, K) and delta0.shape == (N, K)
+    BK = _pick_bk(K)
+    KT = K // BK
+
+    grid = (Tm, KT)
+    kernel = functools.partial(_scan_kernel, N=N, BK=BK)
+    dfin, ptrs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((K, N), lambda t, kt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, K), lambda t, kt: (kt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, K), lambda t, kt: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, K), lambda t, kt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, K), lambda t, kt: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, K), jnp.float32),
+            jax.ShapeDtypeStruct((Tm, N, K), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, N), jnp.float32),   # delta carry (column layout)
+            pltpu.VMEM((N, K), jnp.float32),   # running max
+            pltpu.VMEM((N, K), jnp.int32),     # running argmax
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tm * N * K * K,
+            bytes_accessed=Tm * K * K * 4 + Tm * N * K * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.transpose(delta0), logA, emits)
+    return dfin, ptrs
+
+
+def forward_scan_pallas(delta0: jax.Array, logA: jax.Array, emits: jax.Array,
+                        interpret: bool = False):
+    """Drop-in for ``ops.maxplus.forward_scan`` (N=1).
+
+    Args: delta0 (K,), logA (K, K), emits (T', K).
+    Returns: (delta_final (K,), ptrs (T', K) int32).
+    """
+    Tm, K = emits.shape
+    dfin, ptrs = maxplus_scan(logA, emits[:, None, :], delta0[None, :],
+                              interpret=interpret)
+    return dfin[0], ptrs[:, 0, :]

@@ -22,8 +22,9 @@ def _tables(A, B, Pi):
 
 
 def _step(delta, logA, emit):
-    scores = (emit[None, :] + delta[:, None]) + logA  # fp32 ops, framework order
-    return np.max(scores, axis=0), np.argmax(scores, axis=0)
+    # fp32 ops, framework order: inner sum delta+logA, emission after the max
+    scores = (delta[:, None] + logA).astype(F32)
+    return (np.max(scores, axis=0) + emit).astype(F32), np.argmax(scores, axis=0)
 
 
 def vanilla(A, B, Pi, y) -> np.ndarray:
@@ -63,8 +64,8 @@ def flash_bs(A, B_mat, Pi, y, beam_width: int, num_segments: int = 8) -> np.ndar
 
     def beam_step(vals, states, emit):
         rows = logA[states]
-        scores = (emit[None, :] + vals[:, None]) + rows
-        return np.max(scores, axis=0).astype(F32), np.argmax(scores, axis=0)
+        scores = (vals[:, None] + rows).astype(F32)
+        return (np.max(scores, axis=0) + emit).astype(F32), np.argmax(scores, axis=0)
 
     mids = flash_midpoints(0, T - 1, N) if N > 1 else []
     P = len(mids)

@@ -18,9 +18,11 @@ Every function accepts ``numerics``:
   ``ElementType`` happens.  Use for parity tests against compiled reference
   binaries.
 * ``"f32"`` — the framework's numerics contract: log tables = float64 log
-  truncated to fp32 once; the trellis sum is ``(logB + delta) + logA``
-  evaluated in fp32.  The JAX decoders implement the same IEEE ops in the
-  same order, so paths match this mode bit-exactly.
+  truncated to fp32 once; the inner trellis sum is ``delta + logA`` in fp32
+  and the emission is added *after* the max (the argmax is unaffected in
+  exact arithmetic since the emission is constant over the source state).
+  The JAX decoders implement the same IEEE ops in the same order, so paths
+  match this mode bit-exactly.
 
 Tie-breaking everywhere: strictly-greater comparison scans => lowest index
 wins (SURVEY.md §3.6), which equals ``np.argmax``'s first-occurrence rule.
@@ -77,24 +79,29 @@ class Tables:
 # and both C summation orders.
 # ---------------------------------------------------------------------------
 
+def _step32(tb: Tables, delta: np.ndarray, t: int):
+    """Framework-contract f32 step: (delta_new, argmax).  Inner sum
+    ``delta + logA`` in fp32; emission added after the max (see module doc)."""
+    s = _sanitize((delta[:, None] + tb.logA32).astype(F32))
+    arg = np.argmax(s, axis=0)
+    d = (np.max(s, axis=0).astype(F32) + tb.logB32[:, tb.y[t]]).astype(F32)
+    return d, arg
+
+
 def _step_scores_vanilla(tb: Tables, delta: np.ndarray, t: int, numerics: str):
     """C vanilla order: fl32( (delta_k + logA64) + logB64 )  [vanilla Viterbi.c:140]."""
-    if numerics == "c":
-        s = (delta.astype(F64)[:, None] + tb.logA64) + tb.logB64[None, :, tb.y[t]]
-        return s.astype(F32)
-    emit = tb.logB32[:, tb.y[t]]
-    return ((emit[None, :] + delta[:, None]) + tb.logA32).astype(F32)
+    assert numerics == "c"
+    s = (delta.astype(F64)[:, None] + tb.logA64) + tb.logB64[None, :, tb.y[t]]
+    return s.astype(F32)
 
 
 def _step_scores_flash(tb: Tables, delta: np.ndarray, t: int, numerics: str):
     """FLASH order: fl32( f64(fl32(logB32 + delta_k)) + logA64 )
     [FLASH_Viterbi_multithread.c:167-170]."""
-    if numerics == "c":
-        emit32 = tb.logB64[:, tb.y[t]].astype(F32)
-        inner = (emit32[None, :] + delta[:, None]).astype(F32)
-        return (inner.astype(F64) + tb.logA64).astype(F32)
-    emit = tb.logB32[:, tb.y[t]]
-    return ((emit[None, :] + delta[:, None]) + tb.logA32).astype(F32)
+    assert numerics == "c"
+    emit32 = tb.logB64[:, tb.y[t]].astype(F32)
+    inner = (emit32[None, :] + delta[:, None]).astype(F32)
+    return (inner.astype(F64) + tb.logA64).astype(F32)
 
 
 def _init_delta_pi(tb: Tables, numerics: str) -> np.ndarray:
@@ -115,6 +122,19 @@ def _argmax_low(v: np.ndarray) -> int:
     return int(np.argmax(_sanitize(v)))
 
 
+def _trellis_step(tb: Tables, delta: np.ndarray, t: int, numerics: str, order: str):
+    """One full trellis step: (delta_new, argmax) under either numerics mode.
+
+    ``order`` selects the C summation order ("vanilla" or "flash"); it is
+    ignored for the framework's "f32" contract, which has a single order.
+    """
+    if numerics == "c":
+        fn = _step_scores_vanilla if order == "vanilla" else _step_scores_flash
+        s = _sanitize(fn(tb, delta, t, numerics))
+        return np.max(s, axis=0).astype(F32), np.argmax(s, axis=0)
+    return _step32(tb, delta, t)
+
+
 # ---------------------------------------------------------------------------
 # Vanilla Viterbi
 # ---------------------------------------------------------------------------
@@ -125,9 +145,7 @@ def vanilla(A, B, Pi, y, numerics: str = "c") -> np.ndarray:
     delta = _init_delta_pi(tb, numerics)
     ptrs = np.zeros((T, K), dtype=np.int64)
     for j in range(1, T):
-        s = _sanitize(_step_scores_vanilla(tb, delta, j, numerics))
-        ptrs[j] = np.argmax(s, axis=0)
-        delta = np.max(s, axis=0).astype(F32)
+        delta, ptrs[j] = _trellis_step(tb, delta, j, numerics, "vanilla")
     ans = np.zeros(T, dtype=np.int64)
     ans[T - 1] = _argmax_low(delta)
     for j in range(T - 1, 0, -1):
@@ -152,8 +170,7 @@ def checkpoint(A, B, Pi, y, step: int = 0, numerics: str = "c") -> np.ndarray:
     snaps[0] = delta
     cnt = 0
     for j in range(1, T):
-        s = _sanitize(_step_scores_vanilla(tb, delta, j, numerics))
-        delta = np.max(s, axis=0).astype(F32)
+        delta, _ = _trellis_step(tb, delta, j, numerics, "vanilla")
         if j % step == 0 and cnt + 1 < C and j == checkpoints[cnt + 1]:
             cnt += 1
             snaps[cnt] = delta
@@ -167,9 +184,7 @@ def checkpoint(A, B, Pi, y, step: int = 0, numerics: str = "c") -> np.ndarray:
         d = snaps[i].copy()
         ptrs = np.zeros((t_sub, tb.K), dtype=np.int64)
         for j in range(1, t_sub):
-            s = _sanitize(_step_scores_vanilla(tb, d, base + j, numerics))
-            ptrs[j] = np.argmax(s, axis=0)
-            d = np.max(s, axis=0).astype(F32)
+            d, ptrs[j] = _trellis_step(tb, d, base + j, numerics, "vanilla")
         if count == T - 1:
             ans[count] = _argmax_low(d)
             count -= 1
@@ -212,9 +227,7 @@ def _nvviter(tb: Tables, ans: np.ndarray, L: int, R: int, mid: int, numerics: st
         delta = _init_delta_forced(tb, state, L, numerics)
         t2 = np.full(tb.K, state, dtype=np.int64)
     for j in range(L + 1, R + 1):
-        s = _sanitize(_step_scores_flash(tb, delta, j, numerics))
-        arg = np.argmax(s, axis=0)
-        delta = np.max(s, axis=0).astype(F32)
+        delta, arg = _trellis_step(tb, delta, j, numerics, "flash")
         t2 = t2[arg] if j > mid + 1 else arg
     a = int(ans[R])
     if L == 0 and R == T - 1:
@@ -239,9 +252,7 @@ def _nvviter_ndivide(tb: Tables, ans: np.ndarray, L: int, R: int, N: int,
     for j in range(L + 1, R + 1):
         while p + 2 < N and j > mids[p + 1] + 1:
             p += 1
-        s = _sanitize(_step_scores_flash(tb, delta, j, numerics))
-        arg = np.argmax(s, axis=0)
-        delta = np.max(s, axis=0).astype(F32)
+        delta, arg = _trellis_step(tb, delta, j, numerics, "flash")
         new_planes = np.empty_like(planes)
         for n in range(N - 1):
             new_planes[n] = planes[n][arg] if n <= p else arg
@@ -376,18 +387,21 @@ class _Heap:
         return arg
 
 
-def _bs_beam_scores(tb: Tables, heap_val, heap_state, t: int, numerics: str):
-    """(B, K) candidate scores from beam predecessors at time t.
+def _bs_step(tb: Tables, heap_val, heap_state, t: int, numerics: str):
+    """(score (K,), argmax-slot (K,)) from beam predecessors at time t.
 
     C order: fl32( f64(fl32(fl32(logB) + value_b)) + logA64[pre,i] )
-    [FLASH_BS_Viterbi_multithread.c:349-353]."""
+    [FLASH_BS_Viterbi_multithread.c:349-353].  f32 mode uses the framework
+    contract (inner sum, emission after the max)."""
     pre = heap_state  # (B,)
     if numerics == "c":
         emit32 = tb.logB64[:, tb.y[t]].astype(F32)  # (K,)
         inner = (emit32[None, :] + heap_val[:, None]).astype(F32)
-        return (inner.astype(F64) + tb.logA64[pre, :]).astype(F32)
-    emit = tb.logB32[:, tb.y[t]]
-    return ((emit[None, :] + heap_val[:, None]) + tb.logA32[pre, :]).astype(F32)
+        s = _sanitize((inner.astype(F64) + tb.logA64[pre, :]).astype(F32))
+        return np.max(s, axis=0).astype(F32), np.argmax(s, axis=0)
+    s = _sanitize((heap_val[:, None] + tb.logA32[pre, :]).astype(F32))
+    score = (np.max(s, axis=0).astype(F32) + tb.logB32[:, tb.y[t]]).astype(F32)
+    return score, np.argmax(s, axis=0)
 
 
 def _bs_fill_initial(tb: Tables, heaps: list[_Heap], L: int, ans, numerics: str):
@@ -413,9 +427,7 @@ def _nvviter_bs(tb: Tables, ans, L, R, mid, B: int, numerics: str):
     h = _Heap(B)
     _bs_fill_initial(tb, [h], L, ans, numerics)
     for j in range(L + 1, R + 1):
-        s = _sanitize(_bs_beam_scores(tb, h.val[1 : B + 1], h.state[1 : B + 1], j, numerics))
-        arg = np.argmax(s, axis=0)  # (K,) heap-slot index of best predecessor
-        score = np.max(s, axis=0).astype(F32)
+        score, arg = _bs_step(tb, h.val[1 : B + 1], h.state[1 : B + 1], j, numerics)
         nh = _Heap(B)
         src = h.t3 if j > mid + 1 else h.state
         for i in range(tb.K):
@@ -442,9 +454,7 @@ def _nvviter_ndivide_bs(tb: Tables, ans, L, R, N, B, numerics: str) -> list[int]
         # quirk (b): scores always read from plane index 1 (valid since
         # calc() gates phase 1 on N > 2)
         hq = heaps[1]
-        s = _sanitize(_bs_beam_scores(tb, hq.val[1 : B + 1], hq.state[1 : B + 1], j, numerics))
-        arg = np.argmax(s, axis=0)
-        score = np.max(s, axis=0).astype(F32)
+        score, arg = _bs_step(tb, hq.val[1 : B + 1], hq.state[1 : B + 1], j, numerics)
         new_heaps = [_Heap(B) for _ in range(N - 1)]
         for i in range(tb.K):
             a = int(arg[i]) + 1

@@ -85,8 +85,8 @@ def _sharded_step(delta_full, logA_l, emit_l):
     delta_full: (K,) replicated; logA_l: (K, K/s); emit_l: (K/s,).
     Returns replicated (delta' (K,), ptr (K,) int32 global source indices).
     """
-    scores = (emit_l[None, :] + delta_full[:, None]) + logA_l  # (K, K/s)
-    d_l = jnp.max(scores, axis=0)
+    scores = delta_full[:, None] + logA_l  # (K, K/s)
+    d_l = jnp.max(scores, axis=0) + emit_l
     p_l = jnp.argmax(scores, axis=0).astype(jnp.int32)
     return _ag(d_l), _ag(p_l)
 

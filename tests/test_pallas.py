@@ -1,0 +1,65 @@
+"""Pallas kernel correctness (interpreter mode on CPU): bit-exact parity
+with the XLA max-plus scan, including lowest-index tie-breaking."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flash_viterbi_tpu import decode
+from flash_viterbi_tpu.ops import maxplus as mp
+from flash_viterbi_tpu.ops.pallas.maxplus import forward_scan_pallas, maxplus_scan
+
+
+def _tables(hmm):
+    lh = hmm.log().padded(128)
+    return jnp.asarray(lh.logA), jnp.asarray(lh.logB), jnp.asarray(lh.logPi)
+
+
+def test_scan_matches_xla(small_problem):
+    hmm, y = small_problem
+    logA, logB, logPi = _tables(hmm)
+    emits = logB[:, jnp.asarray(y, jnp.int32)].T
+    d0 = logPi + emits[0]
+    dref, pref = mp.forward_scan(d0, logA, emits[1:])
+    dk, pk = forward_scan_pallas(d0, logA, emits[1:], interpret=True)
+    np.testing.assert_array_equal(np.asarray(dref), np.asarray(dk))
+    np.testing.assert_array_equal(np.asarray(pref), np.asarray(pk))
+
+
+def test_scan_tie_breaking():
+    """Quantized scores force exact fp32 ties; lowest source index must win."""
+    rng = np.random.RandomState(0)
+    K = 256
+    logA = jnp.asarray(np.round(rng.randn(K, K) * 2) / 2, jnp.float32)
+    emits = jnp.asarray(np.round(rng.randn(12, K)), jnp.float32)
+    d0 = jnp.asarray(np.round(rng.randn(K)), jnp.float32)
+    dref, pref = mp.forward_scan(d0, logA, emits)
+    dk, pk = forward_scan_pallas(d0, logA, emits, interpret=True)
+    np.testing.assert_array_equal(np.asarray(dref), np.asarray(dk))
+    np.testing.assert_array_equal(np.asarray(pref), np.asarray(pk))
+
+
+def test_batched_scan(small_problem):
+    hmm, y = small_problem
+    logA, logB, logPi = _tables(hmm)
+    emits = logB[:, jnp.asarray(y, jnp.int32)].T
+    d0 = logPi + emits[0]
+    N = 4
+    d0N = jnp.stack([d0, d0 + 1, d0 * 0.5, d0 - 2]).astype(jnp.float32)
+    emitsN = jnp.stack([emits[1:]] * N, axis=1)
+    dfN, pN = maxplus_scan(logA, emitsN, d0N, interpret=True)
+    for n in range(N):
+        dr, pr = mp.forward_scan(d0N[n], logA, emits[1:])
+        np.testing.assert_array_equal(np.asarray(dr), np.asarray(dfN[n]))
+        np.testing.assert_array_equal(np.asarray(pr), np.asarray(pN[:, n, :]))
+
+
+def test_fused_decoder_matches_vanilla(small_problem):
+    hmm, y = small_problem
+    v = decode(hmm, y, algorithm="vanilla", warmup=False)
+    f = decode(hmm, y, algorithm="fused", use_pallas=True, warmup=False)
+    np.testing.assert_array_equal(v.path, f.path)
+    f2 = decode(hmm, y, algorithm="fused", use_pallas=False, warmup=False)
+    np.testing.assert_array_equal(v.path, f2.path)
