@@ -1,0 +1,173 @@
+"""Benchmark harness — capability parity with the reference's ``src/run.py``.
+
+The reference configures by regex-patching ``#define``s into the C source,
+recompiling, running, and scraping stdout into per-algorithm CSVs
+(``src/run.py:26-107``).  Here a sweep is a list of :class:`RunConfig`;
+each run generates (or loads) the seeded fixture, decodes on-device, and
+appends a CSV row with the reference schema
+
+    [timestamp, K_STATE, T_STATE, obserRouteLEN, prob, MAX_THREADS,
+     BeamSearchWidth, time, memory]                     (src/run.py:105)
+
+extended with [algorithm, device, updates_per_s, parity] columns.
+
+Timing: the axon TPU tunnel's ``block_until_ready`` does not synchronize
+and a synced dispatch has a ~25 ms floor, so :func:`marginal_time` measures
+chains of k data-dependent decodes in one dispatch and reports the slope —
+the honest per-decode wall time (see bench.py at the repo root).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+import time
+from datetime import datetime
+from typing import Sequence
+
+import numpy as np
+
+CSV_FIELDS = [
+    "timestamp", "K_STATE", "T_STATE", "obserRouteLEN", "prob",
+    "MAX_THREADS", "BeamSearchWidth", "time", "memory",
+    "algorithm", "device", "updates_per_s", "parity",
+]
+
+
+@dataclasses.dataclass
+class RunConfig:
+    algorithm: str = "fused"
+    K: int = 256
+    M: int = 50  # T_STATE in reference vocabulary (observation alphabet)
+    T: int = 256  # obserRouteLEN
+    prob: float = 0.112
+    seed: int = 1
+    num_segments: int = 8  # plays MAX_THREADS' role (src/run.py:34-35)
+    beam_width: int | None = None
+    dag: bool = False
+    data_path: str | None = None  # load fixture instead of generating
+    check_parity: bool = True
+    extra: dict = dataclasses.field(default_factory=dict)
+
+
+def marginal_time(make_chain, k1: int = 1, k2: int = 5, reps: int = 3) -> float:
+    """Wall time per decode via chained-dependency marginal measurement.
+
+    ``make_chain(k)`` must return a callable running k data-dependent
+    decodes in one dispatch whose result forces a device sync when a
+    scalar is pulled (``int(...)``/``float(...)``).
+    """
+    f1, f2 = make_chain(k1), make_chain(k2)
+    int(np.asarray(f1()).ravel()[0])  # compile
+    int(np.asarray(f2()).ravel()[0])
+
+    def run(f):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(np.asarray(f()).ravel()[0])
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    return max((run(f2) - run(f1)) / (k2 - k1), 1e-9)
+
+
+def run_one(cfg: RunConfig) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from .. import build
+    from ..models.generate import make_dag_hmm, make_sparse_hmm
+    from ..oracle import framework as oracle
+    from ..utils.io import load_dataset
+
+    if cfg.data_path:
+        hmm, y = load_dataset(cfg.data_path, cfg.K, cfg.T, cfg.M,
+                              prob=cfg.prob, dag=cfg.dag)
+    elif cfg.dag:
+        hmm, y = make_dag_hmm(K=cfg.K, M=cfg.M, T=cfg.T, seed=cfg.seed,
+                              sanitize=True)
+    else:
+        hmm, y = make_sparse_hmm(K=cfg.K, M=cfg.M, T=cfg.T, prob=cfg.prob,
+                                 seed=cfg.seed)
+
+    static = dict(cfg.extra)
+    if cfg.algorithm in ("flash", "flash_bs"):
+        static.setdefault("num_segments", cfg.num_segments)
+    if cfg.beam_width is not None:
+        static.setdefault("beam_width", cfg.beam_width)
+    dec = build(cfg.algorithm, **static)
+
+    lh = hmm.log().padded(128)
+    logA = jnp.asarray(lh.logA)
+    logB = jnp.asarray(lh.logB)
+    logPi0 = jnp.asarray(lh.logPi)
+    yd = jnp.asarray(y, jnp.int32)
+
+    def make_chain(k):
+        @jax.jit
+        def f(logPi):
+            p = None
+            for _ in range(k):
+                p = dec(logA, logB, logPi, yd)
+                logPi = logPi + p[0].astype(jnp.float32) * jnp.float32(1e-30)
+            return p
+
+        def call():
+            return f(logPi0)
+
+        return call
+
+    wall = marginal_time(make_chain)
+    path = np.asarray(jax.jit(dec)(logA, logB, logPi0, yd))[: cfg.T]
+
+    parity = ""
+    if cfg.check_parity and cfg.algorithm in ("vanilla", "checkpoint", "flash",
+                                              "fused"):
+        want = oracle.vanilla(hmm.A, hmm.B, hmm.Pi, y)
+        parity = bool((path == want).all())
+
+    return {
+        "timestamp": datetime.now().strftime("%Y%m%d_%H%M%S"),
+        "K_STATE": cfg.K,
+        "T_STATE": cfg.M,
+        "obserRouteLEN": cfg.T,
+        "prob": cfg.prob,
+        "MAX_THREADS": cfg.num_segments,
+        "BeamSearchWidth": cfg.beam_width or "",
+        "time": wall,
+        "memory": dec.analytic_memory(K=lh.Kp, T=cfg.T),
+        "algorithm": cfg.algorithm,
+        "device": str(jax.devices()[0]),
+        "updates_per_s": cfg.K * cfg.K * cfg.T / wall,
+        "parity": parity,
+    }
+
+
+def append_csv(row: dict, csv_dir: str, algorithm: str) -> str:
+    """Per-algorithm CSV accumulation, like run.py's run_result (:80-107)."""
+    os.makedirs(csv_dir, exist_ok=True)
+    path = os.path.join(csv_dir, f"{algorithm}.csv")
+    fresh = not os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=CSV_FIELDS)
+        if fresh:
+            w.writeheader()
+        w.writerow(row)
+    return path
+
+
+def sweep(configs: Sequence[RunConfig], csv_dir: str | None = None,
+          verbose: bool = True) -> list[dict]:
+    rows = []
+    for cfg in configs:
+        row = run_one(cfg)
+        rows.append(row)
+        if csv_dir:
+            append_csv(row, csv_dir, cfg.algorithm)
+        if verbose:
+            print(f"{cfg.algorithm:10s} K={cfg.K:<6d} T={cfg.T:<6d} "
+                  f"time={row['time']*1e3:9.2f} ms  "
+                  f"{row['updates_per_s']/1e9:8.2f} G upd/s  parity={row['parity']}")
+    return rows

@@ -1,0 +1,136 @@
+"""Command-line interface.
+
+Subcommands mirror the reference's workflows:
+
+* ``generate`` — seeded fixture generation, same files/filenames as
+  ``generate_data/data_script.py`` / ``data_script_dag.py``.
+* ``decode``   — one decode, printing the reference stdout protocol
+  (``time:`` / ``path: [...]`` / ``memory:``,
+  ``src/FLASH_Viterbi_multithread.c:117-124,378``).
+* ``bench``    — parameter sweep to per-algorithm CSVs (run.py parity,
+  ``src/run.py:80-107``; see ``bench.harness`` for the schema).
+
+Examples::
+
+    python -m flash_viterbi_tpu generate -K 512 -M 50 -T 256 -p 0.112 -o data/
+    python -m flash_viterbi_tpu decode -a fused -K 512 -M 50 -T 256 -p 0.112
+    python -m flash_viterbi_tpu bench -a fused,flash -K 1024,3965 -T 256 --csv-dir results/
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_problem_args(p: argparse.ArgumentParser, listy: bool = False):
+    # bench accepts comma-separated sweeps for K/T/prob
+    kt = str if listy else int
+    pt = str if listy else float
+    p.add_argument("-K", type=kt, default=256, help="number of hidden states")
+    p.add_argument("-M", "--t-state", type=int, default=50, dest="M",
+                   help="observation alphabet size (reference: T_STATE)")
+    p.add_argument("-T", "--obser-len", type=kt, default=256, dest="T",
+                   help="observation sequence length (reference: obserRouteLEN)")
+    p.add_argument("-p", "--prob", type=pt, default=0.112,
+                   help="edge probability of the sparse graph")
+    p.add_argument("-s", "--seed", type=int, default=1)
+    p.add_argument("--dag", action="store_true", help="DAG-structured HMM")
+
+
+def cmd_generate(args) -> int:
+    from .models.generate import make_dag_hmm, make_sparse_hmm
+    from .utils.io import save_dataset
+
+    if args.dag:
+        hmm, y = make_dag_hmm(K=args.K, M=args.M, T=args.T, seed=args.seed,
+                              sanitize=args.sanitize)
+    else:
+        hmm, y = make_sparse_hmm(K=args.K, M=args.M, T=args.T, prob=args.prob,
+                                 seed=args.seed, sanitize=args.sanitize)
+    paths = save_dataset(args.out, hmm, y, prob=args.prob, dag=args.dag)
+    for name, path in paths.items():
+        print(f"{name}: {path}")
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from . import decode
+    from .models.generate import make_dag_hmm, make_sparse_hmm
+    from .utils.io import load_dataset
+
+    if args.data:
+        hmm, y = load_dataset(args.data, args.K, args.T, args.M,
+                              prob=args.prob, dag=args.dag)
+    elif args.dag:
+        hmm, y = make_dag_hmm(K=args.K, M=args.M, T=args.T, seed=args.seed,
+                              sanitize=True)
+    else:
+        hmm, y = make_sparse_hmm(K=args.K, M=args.M, T=args.T, prob=args.prob,
+                                 seed=args.seed)
+    static = {}
+    if args.algorithm in ("flash", "flash_bs"):
+        static["num_segments"] = args.segments
+    if args.algorithm == "flash_bs":
+        static["beam_width"] = args.beam or min(64, args.K)
+    r = decode(hmm, y, algorithm=args.algorithm, **static)
+    sys.stdout.write(r.reference_stdout())
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from .bench.harness import RunConfig, sweep
+
+    algos = args.algorithm.split(",")
+    Ks = [int(x) for x in str(args.K).split(",")]
+    Ts = [int(x) for x in str(args.T).split(",")]
+    probs = [float(x) for x in str(args.prob).split(",")]
+    cfgs = [
+        RunConfig(algorithm=a, K=K, M=args.M, T=T, prob=p, seed=args.seed,
+                  num_segments=args.segments, beam_width=args.beam,
+                  dag=args.dag, data_path=args.data,
+                  check_parity=not args.no_parity)
+        for a in algos for K in Ks for T in Ts for p in probs
+    ]
+    sweep(cfgs, csv_dir=args.csv_dir)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="flash_viterbi_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write seeded fixtures (reference format)")
+    _add_problem_args(g)
+    g.add_argument("-o", "--out", default="data", help="output directory")
+    g.add_argument("--sanitize", action="store_true",
+                   help="zero out NaN rows the reference generator can produce")
+    g.set_defaults(fn=cmd_generate)
+
+    d = sub.add_parser("decode", help="decode one sequence, reference stdout protocol")
+    _add_problem_args(d)
+    d.add_argument("-a", "--algorithm", default="fused")
+    d.add_argument("--data", help="fixture directory (instead of generating)")
+    d.add_argument("--segments", type=int, default=8,
+                   help="FLASH segment count (reference: MAX_THREADS)")
+    d.add_argument("--beam", type=int, help="beam width (flash_bs)")
+    d.set_defaults(fn=cmd_decode)
+
+    b = sub.add_parser("bench", help="sweep configs to per-algorithm CSVs")
+    _add_problem_args(b, listy=True)
+    b.add_argument("-a", "--algorithm", default="fused",
+                   help="comma-separated algorithm list")
+    b.add_argument("--segments", type=int, default=8)
+    b.add_argument("--beam", type=int)
+    b.add_argument("--data", help="fixture directory")
+    b.add_argument("--csv-dir", help="append per-algorithm CSVs here")
+    b.add_argument("--no-parity", action="store_true")
+    b.set_defaults(fn=cmd_bench)
+
+    # K/T/prob accept comma lists for bench
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
