@@ -63,6 +63,81 @@ def test_sieve_mp_close_to_vanilla(small_problem):
     assert (v == s).mean() > 0.85  # only quirk positions may differ
 
 
+def _load_ref_module(name):
+    sys.path.insert(0, REF_PY)
+    try:
+        if name == "Viterbi":
+            from Viterbi import Sieve
+            return Sieve
+        from sieve_beam_search import SIEVE_BEAMSEARCH
+        return SIEVE_BEAMSEARCH
+    finally:
+        sys.path.remove(REF_PY)
+
+
+@pytest.mark.parametrize("K,M,T,prob,seed,bw", [
+    (48, 8, 24, 0.25, 3, 8),
+    (64, 12, 32, 0.3, 7, 16),
+    (32, 6, 17, 0.4, 1, 4),
+])
+def test_sieve_bs_matches_reference_python(K, M, T, prob, seed, bw):
+    from flash_viterbi_tpu.oracle.sieve_bs import build_adjacency, sieve_bs, sieve_bs_mp
+
+    hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+    SIEVE_BEAMSEARCH = _load_ref_module("sieve_beam_search")
+    pi, A_out, A_in, ac = build_adjacency(hmm.A, hmm.B)
+    idx = list(range(K))
+
+    for method, ours in (("viterbi_space_efficient", sieve_bs),
+                         ("viterbi_middlepath", sieve_bs_mp)):
+        bs = SIEVE_BEAMSEARCH(pi, A_out, A_in, ac, bw)
+        bs.viterbi_preprocessing_descendants_pruning_root(idx, T, K)
+        bs.viterbi_preprocessing_ancestors_pruning_root(idx, T, K)
+        with redirect_stdout(io.StringIO()):
+            getattr(bs, method)(idx, frames=list(np.asarray(y)), Pi=pi, K=K)
+        want = [tuple(int(v) for v in p) for p in bs.path]
+        got = [tuple(int(v) for v in p)
+               for p in ours(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)]
+        assert got == want, method
+
+
+def test_beam_search_matches_reference_python():
+    from flash_viterbi_tpu.oracle.sieve_bs import beam_search, build_adjacency
+
+    K, T, bw = 48, 24, 8
+    # sequential frames 0..T-1: the only domain where the reference's
+    # frame-value table indexing (sieve_beam_search.py:301-340) is
+    # self-consistent — it IndexErrors on repeated symbols.
+    hmm, _ = make_sparse_hmm(K=K, M=T, T=T, prob=0.25, seed=3)
+    y = np.arange(T)
+    SIEVE_BEAMSEARCH = _load_ref_module("sieve_beam_search")
+    pi, A_out, A_in, ac = build_adjacency(hmm.A, hmm.B)
+    bs = SIEVE_BEAMSEARCH(pi, A_out, A_in, ac, bw)
+    wpath, wll, _ = bs.beam_search(list(range(K)), frames=list(y),
+                                   Pi={i: pi[i] for i in range(K)})
+    gpath, gll = beam_search(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+    np.testing.assert_array_equal(np.asarray(wpath), gpath)
+    assert wll == gll
+
+
+def test_sieve_dag_matches_reference_python():
+    from flash_viterbi_tpu.models.generate import make_dag_hmm
+    from flash_viterbi_tpu.oracle.sieve import sieve_dag
+
+    K, M, T, seed = 24, 8, 16, 3
+    hmm, y = make_dag_hmm(K=K, M=M, T=T, seed=seed, sanitize=True)
+    Sieve = _load_ref_module("Viterbi")
+    sv = Sieve(np.full(K, 1.0 / K), hmm.A, hmm.B, np.asarray(y))
+    sv.initial_state = None
+    with np.errstate(divide="ignore", invalid="ignore"), \
+            redirect_stdout(io.StringIO()):
+        sv.sieve_dag(np.arange(K), hmm.A, hmm.B, np.asarray(y),
+                     Pi=np.full(K, 1.0 / K), K=K)
+    want = [tuple(int(v) for v in p) for p in sv.path]
+    got = [tuple(int(v) for v in p) for p in sieve_dag(hmm.A, hmm.B, hmm.Pi, y)]
+    assert got == want
+
+
 def test_sieve_dynamic_matches_reference_python(small_problem):
     hmm, y = small_problem
     K = hmm.K
