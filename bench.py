@@ -1,4 +1,4 @@
-"""Headline benchmark: fused full-state decode, K=3965, T=256 (paper config).
+"""Headline benchmark: FLASH full-state decode, K=3965, T=256 (paper config).
 
 Prints ONE JSON line: trellis updates (K^2*T)/s on one chip, compared to the
 reference C SIEVE-Mp baseline at the same config (672.6 s == 5.98 M updates/s,
@@ -35,7 +35,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from flash_viterbi_tpu import make_sparse_hmm
-    from flash_viterbi_tpu.algorithms.fused import fused_decode
+    from flash_viterbi_tpu.algorithms.flash import flash_decode
     from flash_viterbi_tpu.oracle import framework as oracle
 
     dev = jax.devices()[0]
@@ -54,7 +54,7 @@ def main() -> None:
         def f(logPi):
             p = None
             for _ in range(k):
-                p = fused_decode(logA, logB, logPi, yd)
+                p = flash_decode(logA, logB, logPi, yd, num_segments=8)
                 # data dependency that provably cannot change logPi's bits
                 logPi = logPi + p[0].astype(jnp.float32) * jnp.float32(1e-30)
             return p
@@ -89,7 +89,7 @@ def main() -> None:
         "unit": "updates/s",
         "vs_baseline": updates_per_s / BASELINE_UPDATES_PER_S,
         "wall_s": wall,
-        "config": f"K={K},T={T},prob={PROB},fused pallas={on_tpu}",
+        "config": f"K={K},T={T},prob={PROB},flash N=8 pallas={on_tpu}",
         "exact_path_parity": parity,
         "device": str(dev),
     }))

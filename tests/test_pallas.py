@@ -56,6 +56,15 @@ def test_batched_scan(small_problem):
         np.testing.assert_array_equal(np.asarray(pr), np.asarray(pN[:, n, :]))
 
 
+def test_flash_pallas_matches_xla(small_problem):
+    hmm, y = small_problem
+    x = decode(hmm, y, algorithm="flash", num_segments=4, use_pallas=False,
+               warmup=False)
+    p = decode(hmm, y, algorithm="flash", num_segments=4, use_pallas=True,
+               warmup=False)
+    np.testing.assert_array_equal(x.path, p.path)
+
+
 def test_fused_decoder_matches_vanilla(small_problem):
     hmm, y = small_problem
     v = decode(hmm, y, algorithm="vanilla", warmup=False)
