@@ -14,10 +14,12 @@ Quick start::
 """
 
 from .algorithms import base as _base  # noqa: F401
+from .algorithms import beam as _beam  # noqa: F401
 from .algorithms import checkpoint as _checkpoint  # noqa: F401
 from .algorithms import flash as _flash  # noqa: F401
 from .algorithms import flash_bs as _flash_bs  # noqa: F401
 from .algorithms import fused as _fused  # noqa: F401
+from .algorithms import sieve as _sieve  # noqa: F401
 from .algorithms import vanilla as _vanilla  # noqa: F401
 from .algorithms.base import DecodeResult, available_algorithms, build, decode
 from .models.generate import make_dag_hmm, make_sparse_hmm

@@ -1,0 +1,288 @@
+"""SIEVE-Mp, TPU-native: level-batched masked divide-and-conquer.
+
+The reference (``Base_line/C implementations/SIEVE-Mp.c:286-509``) recurses
+over the time midpoint, BFS-prunes the state set of each half, and runs a
+pruned K'xK' forward pass per node — data-dependent shapes everywhere.
+
+TPU redesign (SURVEY.md §3.4/§7): the recursion *tree over time* is static
+(floor(T/2) splits), so
+
+* nodes are processed **level by level**; all segments of one level with
+  equal length decode in ONE batched fused-kernel call (2 calls/level max,
+  lengths within a level differ by at most one);
+* state-set pruning becomes a **mask**: banned states get -inf emissions,
+  which kills them as destinations and (via -inf scores) as sources — the
+  masked full-K argmax equals the reference's subset argmax, including
+  lowest-index tie-breaking (subset order is ascending);
+* the BFS itself is h hops of a boolean frontier advance, computed as an
+  MXU matmul against the 0/1 adjacency matrix, batched over segments;
+* median pairs come from a cheap post-scan over the kernel's pointer rows
+  (record at j == mid, then gather-propagate — reference :338-346);
+* the in-order pair flattening (``change_mp_path`` :466-489) has a fully
+  static structure (the -1-sentinel condition depends only on tree shape),
+  so it reduces to one gather from the stacked pair values.
+
+Reference quirks kept: right children re-pick their end state by argmax
+(last=-1, :452), left children force it to x_a; unforced segments use a
+subset-uniform prior log(1/K_sub) (:303-307).
+
+``prune=False`` skips the BFS masking: on inputs where pruning only
+removes unreachable (-inf) states — every non-degenerate case — the
+decoded path is identical, and decode cost drops to the two forward
+sweeps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import maxplus as mp
+from ..ops.pallas.maxplus import maxplus_scan
+from .base import Decoder, register
+from .flash import _pallas_interpret
+
+NEG = jnp.float32(-jnp.inf)
+
+
+@dataclasses.dataclass
+class _Node:
+    idx: int
+    start: int
+    length: int
+    parent: int  # -1 for root
+    side: str  # "root" | "left" | "right"
+    depth: int
+    inorder: int = -1
+    left: int = -1
+    right: int = -1
+    sentinel: bool = False
+
+
+def build_tree(T: int) -> list[_Node]:
+    """Static recursion tree, in-order numbering and sentinel flags
+    (mirrors sieve_middlepath's call structure + mp_path appends)."""
+    nodes: list[_Node] = []
+
+    def rec(start: int, length: int, parent: int, side: str, depth: int) -> int:
+        me = len(nodes)
+        nodes.append(_Node(me, start, length, parent, side, depth))
+        n_left = length // 2
+        n_right = length - n_left
+        if n_left > 1:
+            nodes[me].left = rec(start, n_left, me, "left", depth + 1)
+        if n_right > 1:
+            nodes[me].right = rec(start + n_left, n_right, me, "right", depth + 1)
+        return me
+
+    rec(0, T, -1, "root", 0)
+
+    # in-order append positions + static sentinel decisions (C :412-428)
+    count = 0
+
+    def inord(i: int):
+        nonlocal count
+        nd = nodes[i]
+        if nd.left >= 0:
+            inord(nd.left)
+        n_left = nd.length // 2
+        n_right = nd.length - n_left
+        nd.sentinel = (n_right <= 1 and n_left <= 1 and count < T - 2
+                       and count != 0)
+        nd.inorder = count
+        count += 1
+        if nd.right >= 0:
+            inord(nd.right)
+
+    inord(0)
+    return nodes
+
+
+def flatten_positions(nodes: list[_Node], T: int):
+    """Static simulation of change_mp_path: for each output position,
+    (inorder pair index, 0 for .x / 1 for .y)."""
+    pairs = sorted(nodes, key=lambda n: n.inorder)
+    mp_path = [("S" if n.sentinel else n.inorder) for n in pairs]
+    out: list[tuple[int, int]] = []
+    out.append((mp_path[0], 0))
+    out.append((mp_path[0], 1))
+    i = 1
+    while len(out) <= len(mp_path):
+        if mp_path[i] == "S":
+            if i + 1 >= len(mp_path):
+                break
+            out.append((mp_path[i + 1], 0))
+            out.append((mp_path[i + 1], 1))
+            i += 1
+        else:
+            out.append((mp_path[i], 1))
+        i += 1
+    out = out[:T]
+    assert all(p != "S" for p, _ in out), "sentinel leaked into output"
+    return out
+
+
+def _planes_from_ptrs(ptrs, mid: int):
+    """(plane_x, plane_y) (S, K) from pointer rows (L-1, S, K): record at
+    j == mid, gather-propagate after (reference :338-346)."""
+    S, K = ptrs.shape[1], ptrs.shape[2]
+    px0 = ptrs[mid - 1]  # (S, K) source state at mid-1 per dest at mid
+    py0 = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (S, K))
+
+    def step(carry, row):
+        px, py = carry
+        px = jnp.take_along_axis(px, row, axis=1)
+        py = jnp.take_along_axis(py, row, axis=1)
+        return (px, py), None
+
+    (px, py), _ = jax.lax.scan(step, (px0, py0), ptrs[mid:])
+    return px, py
+
+
+def _bfs_masks(adjF, frontier0, parent_mask, hops: int):
+    """Nodes within <= hops of the frontier, inside parent_mask.
+
+    adjF: (K, K) f32 0/1 matrix, adjF[i, j] = edge i->j in traversal
+    direction.  frontier0: (S, K) one-hot f32.  MXU matmul per hop.
+    """
+    visited = jnp.zeros_like(frontier0)
+
+    def step(carry, _):
+        visited, frontier = carry
+        reach = (frontier @ adjF) > 0
+        new = jnp.logical_and(reach, visited == 0).astype(frontier0.dtype)
+        new = new * parent_mask
+        return (jnp.maximum(visited, new), new), None
+
+    (visited, _), _ = jax.lax.scan(step, (visited, frontier0), None, length=hops)
+    return visited  # (S, K) 0/1
+
+
+def sieve_mp_decode(logA, logB, logPi, y, A_posF,
+                    prune: bool = True, use_pallas: bool | str = "auto"):
+    """Full SIEVE-Mp decode; bit-compatible with
+    ``oracle.sieve.sieve_mp(numerics='f32')`` when ``prune=True``.
+
+    The recursion tree is built from ``y``'s *static shape*, so this is
+    jit-safe.  ``A_posF`` is the (K, K) 0/1 float32 edge matrix.
+    """
+    T = int(y.shape[0])
+    K = logA.shape[0]
+    if use_pallas == "auto":
+        use_pallas = K % 8 == 0
+    interp = _pallas_interpret()
+    emits = logB[:, y].T  # (T, K)
+    nodes = build_tree(T)
+
+    iotaK = jnp.arange(K, dtype=jnp.int32)
+    # traced per-node state
+    masks: dict[int, jax.Array] = {0: jnp.ones((K,), jnp.float32)}
+    inits: dict[int, jax.Array] = {0: jnp.asarray(-1, jnp.int32)}
+    lasts: dict[int, jax.Array] = {0: jnp.asarray(-1, jnp.int32)}
+    pairs_x: dict[int, jax.Array] = {}
+    pairs_y: dict[int, jax.Array] = {}
+
+    max_depth = max(n.depth for n in nodes)
+    for depth in range(max_depth + 1):
+        level = [n for n in nodes if n.depth == depth]
+        for length in sorted({n.length for n in level}):
+            group = [n for n in level if n.length == length]
+            S = len(group)
+            mask = jnp.stack([masks[n.idx] for n in group])  # (S, K) 0/1
+            init = jnp.stack([inits[n.idx] for n in group])  # (S,)
+            last_f = jnp.stack([lasts[n.idx] for n in group])
+            starts = np.asarray([n.start for n in group])
+
+            # masked emissions for this group's time windows
+            idx = jnp.asarray(starts[:, None] + np.arange(length)[None, :])
+            seg_emits = emits[idx]  # (S, length, K)
+            pen = jnp.where(mask > 0, 0.0, NEG)  # (S, K)
+            seg_emits = seg_emits + pen[:, None, :]
+
+            # subset-uniform prior for unforced segments (reference :303-307)
+            ksub = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+            log_unif = jnp.log(1.0 / ksub).astype(jnp.float32)
+            root_pi = logPi[None, :] if depth == 0 else log_unif[:, None]
+            forced0 = jnp.where(iotaK[None, :] == init[:, None], 0.0, NEG)
+            d0 = jnp.where((init >= 0)[:, None], forced0, root_pi) + seg_emits[:, 0]
+
+            emitsN = jnp.transpose(seg_emits[:, 1:, :], (1, 0, 2))  # (L-1, S, K)
+            if use_pallas:
+                dfin, ptrs = maxplus_scan(logA, emitsN, d0, interpret=interp)
+            else:
+                def stepf(d, e):
+                    scores = d[:, :, None] + logA[None, :, :]
+                    dn = jnp.max(scores, axis=1) + e
+                    pn = jnp.argmax(scores, axis=1).astype(jnp.int32)
+                    return dn, pn
+                dfin, ptrs = jax.lax.scan(stepf, d0, emitsN)
+
+            mid = length // 2
+            px, py = _planes_from_ptrs(ptrs, mid)
+            last = jnp.where(last_f >= 0, last_f,
+                             jnp.argmax(jnp.where(mask > 0, dfin, NEG),
+                                        axis=1).astype(jnp.int32))
+            x_a = jnp.take_along_axis(px, last[:, None], axis=1)[:, 0]
+            x_b = jnp.take_along_axis(py, last[:, None], axis=1)[:, 0]
+
+            n_left = length // 2
+            n_right = length - n_left
+            onehot_a = jax.nn.one_hot(x_a, K, dtype=jnp.float32)
+            onehot_b = jax.nn.one_hot(x_b, K, dtype=jnp.float32)
+            if any(n.left >= 0 for n in group):
+                if prune:
+                    lmask = _bfs_masks(jnp.transpose(A_posF), onehot_a, mask,
+                                       n_left - 1)
+                    lmask = jnp.maximum(lmask, onehot_a)
+                else:
+                    lmask = mask
+            if any(n.right >= 0 for n in group):
+                if prune:
+                    rmask = _bfs_masks(A_posF, onehot_b, mask, n_right - 1)
+                    rmask = jnp.maximum(rmask, onehot_b)
+                else:
+                    rmask = mask
+
+            for s, n in enumerate(group):
+                pairs_x[n.idx] = x_a[s]
+                pairs_y[n.idx] = x_b[s]
+                if n.left >= 0:
+                    masks[n.left] = lmask[s]
+                    inits[n.left] = init[s]  # left child keeps parent's entry
+                    lasts[n.left] = x_a[s]
+                if n.right >= 0:
+                    masks[n.right] = rmask[s]
+                    inits[n.right] = x_b[s]
+                    lasts[n.right] = jnp.asarray(-1, jnp.int32)  # quirk :452
+
+    # static flattening
+    by_inorder = sorted(nodes, key=lambda n: n.inorder)
+    xs = jnp.stack([pairs_x[n.idx] for n in by_inorder])
+    ys_ = jnp.stack([pairs_y[n.idx] for n in by_inorder])
+    out_spec = flatten_positions(nodes, T)
+    sel = jnp.asarray([pi for pi, _ in out_spec], jnp.int32)
+    which = jnp.asarray([w for _, w in out_spec], jnp.int32)
+    vals = jnp.where(which == 0, xs[sel], ys_[sel])
+    out = jnp.zeros((T,), jnp.int32)
+    return out.at[: len(out_spec)].set(vals.astype(jnp.int32))
+
+
+def _memory(K: int, T: int, **_) -> int:
+    # per level: group pointer tables + masks + planes (dominant term: the
+    # longest level's (T, K) pointer rows)
+    return T * K * 4 + 4 * K * 4 + K * K * 4
+
+
+@register("sieve_mp")
+def _build(prune: bool = True, use_pallas: bool | str = "auto", **static) -> Decoder:
+    def fn(logA, logB, logPi, y):
+        A_posF = (logA > NEG).astype(jnp.float32)
+        return sieve_mp_decode(logA, logB, logPi, y, A_posF, prune=prune,
+                               use_pallas=use_pallas)
+
+    return Decoder("sieve_mp", fn, {"prune": prune, "use_pallas": use_pallas,
+                                    **static}, _memory)

@@ -1,0 +1,75 @@
+"""TPU-native sieve_mp and beam decoders: oracle parity and invariants."""
+
+import numpy as np
+import pytest
+
+from flash_viterbi_tpu import decode
+from flash_viterbi_tpu.oracle.sieve import sieve_mp
+
+
+def test_sieve_mp_matches_oracle_f32(small_problem):
+    hmm, y = small_problem
+    want = sieve_mp(hmm.A, hmm.B, hmm.Pi, y, numerics="f32")
+    r = decode(hmm, y, algorithm="sieve_mp", pad_to=1, warmup=False,
+               use_pallas=False)
+    np.testing.assert_array_equal(r.path, want)
+
+
+def test_sieve_mp_pallas_and_padding_invariance(small_problem):
+    hmm, y = small_problem
+    a = decode(hmm, y, algorithm="sieve_mp", pad_to=1, warmup=False,
+               use_pallas=False)
+    b = decode(hmm, y, algorithm="sieve_mp", pad_to=1, warmup=False,
+               use_pallas=True)
+    c = decode(hmm, y, algorithm="sieve_mp", pad_to=128, warmup=False,
+               use_pallas=False)
+    np.testing.assert_array_equal(a.path, b.path)
+    np.testing.assert_array_equal(a.path, c.path)
+
+
+def test_sieve_mp_unpruned_matches_on_dense(small_problem):
+    """Without degenerate reachability, pruning only removes -inf states;
+    prune=False must give the same path."""
+    hmm, y = small_problem
+    a = decode(hmm, y, algorithm="sieve_mp", pad_to=1, warmup=False,
+               use_pallas=False)
+    b = decode(hmm, y, algorithm="sieve_mp", pad_to=1, warmup=False,
+               use_pallas=False, prune=False)
+    np.testing.assert_array_equal(a.path, b.path)
+
+
+@pytest.mark.parametrize("T", [17, 32, 33])
+def test_sieve_mp_odd_lengths(T):
+    from flash_viterbi_tpu.models.generate import make_sparse_hmm
+
+    hmm, y = make_sparse_hmm(K=48, M=8, T=T, prob=0.3, seed=3)
+    want = sieve_mp(hmm.A, hmm.B, hmm.Pi, y, numerics="f32")
+    r = decode(hmm, y, algorithm="sieve_mp", pad_to=1, warmup=False,
+               use_pallas=False)
+    np.testing.assert_array_equal(r.path, want)
+
+
+def test_beam_full_width_equals_vanilla(small_problem):
+    hmm, y = small_problem
+    v = decode(hmm, y, algorithm="vanilla", warmup=False, pad_to=1)
+    b = decode(hmm, y, algorithm="beam", beam_width=hmm.K, warmup=False,
+               pad_to=1)
+    np.testing.assert_array_equal(v.path, b.path)
+
+
+def test_beam_monotone_quality(small_problem):
+    """Wider beams never decrease the decoded path's log-likelihood."""
+    hmm, y = small_problem
+    with np.errstate(divide="ignore"):
+        lA, lB, lPi = (np.log(x) for x in (hmm.A, hmm.B, hmm.Pi))
+
+    def ll(p):
+        s = lPi[p[0]] + lB[p[0], y[0]]
+        s += sum(lA[p[t - 1], p[t]] + lB[p[t], y[t]] for t in range(1, len(y)))
+        return s
+
+    lls = []
+    for bw in (4, 16, hmm.K):
+        r = decode(hmm, y, algorithm="beam", beam_width=bw, warmup=False, pad_to=1)
+        lls.append(ll(r.path))
+    assert lls[0] <= lls[1] + 1e-6 <= lls[2] + 2e-6
