@@ -23,6 +23,7 @@ from .algorithms import sieve as _sieve  # noqa: F401
 from .algorithms import vanilla as _vanilla  # noqa: F401
 from .algorithms.base import DecodeResult, available_algorithms, build, decode
 from .models.generate import make_dag_hmm, make_sparse_hmm
+from .parallel.batch import decode_batch
 from .models.hmm import HMM, LogHMM
 
 __version__ = "0.1.0"
@@ -34,6 +35,7 @@ __all__ = [
     "available_algorithms",
     "build",
     "decode",
+    "decode_batch",
     "make_dag_hmm",
     "make_sparse_hmm",
 ]
