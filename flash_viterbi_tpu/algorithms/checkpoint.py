@@ -20,7 +20,72 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import maxplus as mp
+from ..ops.pallas.maxplus import (
+    emitgather_supported,
+    maxplus_scan,
+    maxplus_scan_emitgather,
+)
 from .base import Decoder, register
+
+
+def checkpoint_decode_pallas(logA, logB, logPi, y, step: int = 0):
+    """√T-checkpoint decode on the fused kernel.
+
+    Forward: one kernel call per chunk, keeping only the C chunk-boundary
+    delta snapshots (pointer output of the forward calls is discarded —
+    its HBM write traffic is K*4 bytes/step, noise next to the K²*4-byte
+    logA stream).  Backward: per chunk, re-run the kernel from the
+    snapshot and backtrack inside the chunk.  O(K*(C + step)) live memory;
+    the emission table is gathered in-kernel when it fits VMEM, so no
+    (T, K) emissions buffer exists at any point — this is the long-T
+    single-chip path (capability of ``checkpoint Viterbi.c:176-251``,
+    rebuilt for TPU).
+    """
+    T = y.shape[0]
+    K = logA.shape[0]
+    if step <= 0:
+        step = int(math.floor(math.sqrt(T)))
+    from .flash import _pallas_interpret
+
+    interp = _pallas_interpret()
+    eg = emitgather_supported(K, logB.shape[1])
+    logBT = jnp.transpose(logB)
+
+    bounds = list(range(0, T - 1, step)) + [T - 1]  # chunk edges (times)
+
+    def run_chunk(d0, lo, hi, _ys=None):
+        """Kernel over steps lo+1..hi; returns (delta_hi, ptrs)."""
+        if eg:
+            ys = jax.lax.dynamic_slice(y, (lo + 1,), (hi - lo,))[:, None]
+            dfin, ptrs = maxplus_scan_emitgather(logA, logBT, ys, d0[None, :],
+                                                 interpret=interp)
+        else:
+            sym = jax.lax.dynamic_slice(y, (lo + 1,), (hi - lo,))
+            emits = logB[:, sym].T[:, None, :]
+            dfin, ptrs = maxplus_scan(logA, emits, d0[None, :], interpret=interp)
+        return dfin[0], ptrs[:, 0, :]
+
+    # forward: snapshots at chunk starts
+    emit0 = logB[:, y[0]]
+    d = logPi + emit0
+    snaps = [d]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        d, _ = run_chunk(d, lo, hi)
+        snaps.append(d)
+
+    last = mp.argmax_final(snaps[-1])
+
+    # backward: per-chunk recompute + backtrack
+    state = last
+    pieces = []
+    for (lo, hi), snap in zip(reversed(list(zip(bounds[:-1], bounds[1:]))),
+                              reversed(snaps[:-1])):
+        _, ptrs = run_chunk(snap, lo, hi)
+        seg = mp.backtrack(ptrs, state)  # states for times lo..hi
+        pieces.append(seg[1:])
+        state = seg[0]
+    pieces.append(state[None])
+    return jnp.concatenate(pieces[::-1])
 
 
 def checkpoint_decode(logA, logB, logPi, y, step: int = 0):
@@ -89,8 +154,14 @@ def _memory(K: int, T: int, step: int = 0, **_) -> int:
 
 
 @register("checkpoint")
-def _build(step: int = 0, **static) -> Decoder:
+def _build(step: int = 0, use_pallas: bool | str = "auto", **static) -> Decoder:
     def fn(logA, logB, logPi, y):
+        up = use_pallas
+        if up == "auto":
+            up = jax.default_backend() == "tpu" and logA.shape[0] % 8 == 0
+        if up:
+            return checkpoint_decode_pallas(logA, logB, logPi, y, step=step)
         return checkpoint_decode(logA, logB, logPi, y, step=step)
 
-    return Decoder("checkpoint", fn, {"step": step, **static}, _memory)
+    return Decoder("checkpoint", fn,
+                   {"step": step, "use_pallas": use_pallas, **static}, _memory)

@@ -151,3 +151,114 @@ def forward_scan_pallas(delta0: jax.Array, logA: jax.Array, emits: jax.Array,
     dfin, ptrs = maxplus_scan(logA, emits[:, None, :], delta0[None, :],
                               interpret=interpret)
     return dfin[0], ptrs[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Variant with in-kernel emission gather: no (T', N, K) emissions buffer.
+# The (M, K) transposed emission table stays VMEM-resident and each step
+# reads its row by the observation symbol (SMEM block) — removes the HBM
+# emissions materialization entirely, which is what makes T=65536-scale
+# single-chip decoding possible (the emissions buffer alone would be T*K*4
+# bytes).  Requires M * K * 4 <= ~2 MB.
+# ---------------------------------------------------------------------------
+
+def _scan_eg_kernel(ys_ref, delta0T_ref, logA_ref, logBT_ref, dfin_ref,
+                    ptr_ref, dcol_ref, accv_ref, acca_ref, *, N: int, BK: int):
+    t = pl.program_id(0)
+    kt = pl.program_id(1)
+    KT = pl.num_programs(1)
+
+    @pl.when((t == 0) & (kt == 0))
+    def _():
+        dcol_ref[:] = delta0T_ref[:]
+
+    tile = logA_ref[:]  # (BK, K)
+    d_col = dcol_ref[pl.ds(kt * BK, BK), :]  # (BK, N)
+    K = tile.shape[1]
+    src_idx = jax.lax.broadcasted_iota(jnp.int32, (BK, K), 0) + kt * BK
+
+    for n in range(N):
+        tmp = d_col[:, n:n + 1] + tile
+        val = jnp.max(tmp, axis=0, keepdims=True)
+        loc = jnp.min(jnp.where(tmp == val, src_idx, K + kt * BK),
+                      axis=0, keepdims=True)
+
+        @pl.when(kt == 0)
+        def _():
+            accv_ref[n:n + 1, :] = val
+            acca_ref[n:n + 1, :] = loc
+
+        @pl.when(kt > 0)
+        def _():
+            prev = accv_ref[n:n + 1, :]
+            better = val > prev
+            acca_ref[n:n + 1, :] = jnp.where(better, loc, acca_ref[n:n + 1, :])
+            accv_ref[n:n + 1, :] = jnp.where(better, val, prev)
+
+    @pl.when(kt == KT - 1)
+    def _():
+        rows = [logBT_ref[ys_ref[t, n], :][None, :] for n in range(N)]
+        emit = jnp.concatenate(rows, axis=0) if N > 1 else rows[0]
+        newd = accv_ref[:] + emit  # (N, K)
+        ptr_ref[0, :, :] = acca_ref[:]
+        dfin_ref[:] = newd
+        dcol_ref[:] = jnp.transpose(newd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def maxplus_scan_emitgather(logA: jax.Array, logBT: jax.Array, ys: jax.Array,
+                            delta0: jax.Array, interpret: bool = False):
+    """Fused forward scan with in-kernel emission rows.
+
+    Args:
+      logA:   (K, K) fp32.
+      logBT:  (M, K) fp32 — ``logB.T``, kept VMEM-resident.
+      ys:     (T', N) int32 observation symbols for steps 1..T'.
+      delta0: (N, K) fp32.
+
+    Returns: (delta_final (N, K), ptrs (T', N, K) int32).
+    """
+    Tm, N = ys.shape
+    K = logA.shape[0]
+    M = logBT.shape[0]
+    assert logBT.shape == (M, K) and delta0.shape == (N, K)
+    BK = _pick_bk(K)
+    KT = K // BK
+
+    kernel = functools.partial(_scan_eg_kernel, N=N, BK=BK)
+    dfin, ptrs = pl.pallas_call(
+        kernel,
+        grid=(Tm, KT),
+        in_specs=[
+            # whole symbol array in SMEM (tiny; long-T callers chunk)
+            pl.BlockSpec((Tm, N), lambda t, kt: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, N), lambda t, kt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, K), lambda t, kt: (kt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, K), lambda t, kt: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, K), lambda t, kt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, K), lambda t, kt: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, K), jnp.float32),
+            jax.ShapeDtypeStruct((Tm, N, K), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, N), jnp.float32),
+            pltpu.VMEM((N, K), jnp.float32),
+            pltpu.VMEM((N, K), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tm * N * K * K,
+            bytes_accessed=Tm * K * K * 4 + Tm * N * K * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ys, jnp.transpose(delta0), logA, logBT)
+    return dfin, ptrs
+
+
+def emitgather_supported(K: int, M: int) -> bool:
+    """VMEM residency bound for the transposed emission table."""
+    return M * K * 4 <= 2 * 1024 * 1024

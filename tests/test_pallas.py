@@ -65,6 +65,30 @@ def test_flash_pallas_matches_xla(small_problem):
     np.testing.assert_array_equal(x.path, p.path)
 
 
+def test_emitgather_scan_matches_xla(small_problem):
+    from flash_viterbi_tpu.ops.pallas.maxplus import maxplus_scan_emitgather
+
+    hmm, y = small_problem
+    logA, logB, logPi = _tables(hmm)
+    yj = jnp.asarray(y, jnp.int32)
+    emits = logB[:, yj].T
+    d0 = logPi + emits[0]
+    dref, pref = mp.forward_scan(d0, logA, emits[1:])
+    dk, pk = maxplus_scan_emitgather(logA, jnp.transpose(logB), yj[1:, None],
+                                     d0[None, :], interpret=True)
+    np.testing.assert_array_equal(np.asarray(dref), np.asarray(dk[0]))
+    np.testing.assert_array_equal(np.asarray(pref), np.asarray(pk[:, 0, :]))
+
+
+def test_checkpoint_pallas_matches_vanilla(small_problem):
+    hmm, y = small_problem
+    v = decode(hmm, y, algorithm="vanilla", warmup=False)
+    for step in (0, 5):
+        c = decode(hmm, y, algorithm="checkpoint", warmup=False,
+                   use_pallas=True, step=step)
+        np.testing.assert_array_equal(v.path, c.path)
+
+
 def test_fused_decoder_matches_vanilla(small_problem):
     hmm, y = small_problem
     v = decode(hmm, y, algorithm="vanilla", warmup=False)
