@@ -78,6 +78,54 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    """Baseline.py-equivalent harness: run every algorithm on one problem,
+    write times/memory/paths to ``ANS_K{K}_T{T}_prob{p}_beam_width{b}.txt``
+    (the reference's summary format, Baseline.py:67-68,91-105)."""
+    import time as _time
+
+    import numpy as np
+
+    from . import decode
+    from .models.generate import make_sparse_hmm
+    from .oracle.sieve import sieve_mp
+    from .oracle.sieve_bs import sieve_bs, sieve_bs_mp
+
+    K, M, T, prob, seed = args.K, args.M, args.T, args.prob, args.seed
+    beam = args.beam or min(64, K)
+    hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+
+    out_path = f"ANS_K{K}_T{T}_prob{prob}_beam_width{beam}.txt"
+    lines = []
+    for alg, kw in [("vanilla", {}), ("checkpoint", {}), ("fused", {}),
+                    ("flash", {"num_segments": args.segments}),
+                    ("flash_bs", {"num_segments": args.segments,
+                                  "beam_width": beam}),
+                    ("sieve_mp", {}),
+                    ("beam", {"beam_width": beam})]:
+        r = decode(hmm, y, algorithm=alg, **kw)
+        lines.append(f"{alg} Time: {r.time_s:.5f}s")
+        lines.append(f"Mem: {r.memory_bytes}")
+        lines.append(f"path: {list(map(int, r.path))}")
+        print(f"{alg:12s} {r.time_s*1e3:9.2f} ms  mem={r.memory_bytes}")
+
+    # oracle baselines (CPU reference semantics, like Baseline.py's originals)
+    for name, fn in [("SIEVE-Mp(oracle)", lambda: sieve_mp(hmm.A, hmm.B, hmm.Pi, y)),
+                     ("SIEVE-BS(oracle)", lambda: sieve_bs(hmm.A, hmm.B, hmm.Pi, y, beam)),
+                     ("SIEVE-BS-Mp(oracle)", lambda: sieve_bs_mp(hmm.A, hmm.B, hmm.Pi, y, beam))]:
+        t0 = _time.time()
+        out = fn()
+        dt = _time.time() - t0
+        lines.append(f"{name} Time: {dt:.5f}s")
+        lines.append(f"path: {out if isinstance(out, list) else list(map(int, out))}")
+        print(f"{name:20s} {dt*1e3:9.2f} ms")
+
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out_path}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     from .bench.harness import RunConfig, sweep
 
@@ -115,6 +163,13 @@ def main(argv=None) -> int:
                    help="FLASH segment count (reference: MAX_THREADS)")
     d.add_argument("--beam", type=int, help="beam width (flash_bs)")
     d.set_defaults(fn=cmd_decode)
+
+    c = sub.add_parser("compare",
+                       help="run every algorithm on one problem (Baseline.py-style summary)")
+    _add_problem_args(c)
+    c.add_argument("--segments", type=int, default=8)
+    c.add_argument("--beam", type=int)
+    c.set_defaults(fn=cmd_compare)
 
     b = sub.add_parser("bench", help="sweep configs to per-algorithm CSVs")
     _add_problem_args(b, listy=True)

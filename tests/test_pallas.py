@@ -89,6 +89,38 @@ def test_checkpoint_pallas_matches_vanilla(small_problem):
         np.testing.assert_array_equal(v.path, c.path)
 
 
+def test_flash_lean_pallas_matches_vanilla(small_problem):
+    hmm, y = small_problem
+    v = decode(hmm, y, algorithm="vanilla", warmup=False, pad_to=1)
+    a = decode(hmm, y, algorithm="flash", mode="lean", num_segments=4,
+               use_pallas=True, warmup=False, pad_to=1)
+    np.testing.assert_array_equal(v.path, a.path)
+
+
+def test_flash_lean_pallas_chunk_boundary():
+    """T past the chunk size exercises the chunked t2/plane folding."""
+    from flash_viterbi_tpu.models.generate import make_sparse_hmm
+
+    hmm, y = make_sparse_hmm(K=48, M=8, T=70, prob=0.3, seed=5)
+    v = decode(hmm, y, algorithm="vanilla", warmup=False, pad_to=1)
+    a = decode(hmm, y, algorithm="flash", mode="lean", num_segments=4,
+               use_pallas=True, warmup=False, pad_to=1)
+    np.testing.assert_array_equal(v.path, a.path)
+
+
+def test_preprocessing_cache(tmp_path, small_problem):
+    from flash_viterbi_tpu.utils.cache import cached_adjacency, cached_log_tables
+
+    hmm, _ = small_problem
+    lh1 = cached_log_tables(hmm, cache_dir=str(tmp_path), seed=7)
+    lh2 = cached_log_tables(hmm, cache_dir=str(tmp_path), seed=7)  # from disk
+    np.testing.assert_array_equal(lh1.logA, lh2.logA)
+    adj1 = cached_adjacency(hmm.A, hmm.B, cache_dir=str(tmp_path), seed=7)
+    adj2 = cached_adjacency(hmm.A, hmm.B, cache_dir=str(tmp_path), seed=7)
+    np.testing.assert_array_equal(adj1[0], adj2[0])
+    assert adj1[1] == adj2[1]
+
+
 def test_fused_decoder_matches_vanilla(small_problem):
     hmm, y = small_problem
     v = decode(hmm, y, algorithm="vanilla", warmup=False)
