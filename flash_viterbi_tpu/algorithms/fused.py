@@ -25,9 +25,19 @@ from ..ops.pallas.maxplus import forward_scan_pallas
 from .base import Decoder, register
 
 
-def fused_decode(logA, logB, logPi, y, use_pallas: bool | str = "auto"):
+def fused_decode(logA, logB, logPi, y, use_pallas: bool | str = "auto",
+                 precision: str = "fp32"):
+    """``precision="bf16"`` halves the logA HBM stream by quantizing the
+    transition matrix to bfloat16 — an *approximate* mode: measured on the
+    headline config it is ~1.7x faster (12.8 vs 22 ms) and returns a path
+    whose log-likelihood is within ~1e-4 relative of optimal, but the
+    state sequence itself can differ substantially (Viterbi reroutes on
+    tiny score perturbations).  The default fp32 mode is the exact-parity
+    contract."""
     emits = logB[:, y].T  # (T, K)
     delta0 = logPi + emits[0]
+    if precision == "bf16":
+        logA = logA.astype(jnp.bfloat16)
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
@@ -46,8 +56,11 @@ def _memory(K: int, T: int, **_) -> int:
 
 
 @register("fused")
-def _build(use_pallas: bool | str = "auto", **static) -> Decoder:
+def _build(use_pallas: bool | str = "auto", precision: str = "fp32",
+           **static) -> Decoder:
     def fn(logA, logB, logPi, y):
-        return fused_decode(logA, logB, logPi, y, use_pallas=use_pallas)
+        return fused_decode(logA, logB, logPi, y, use_pallas=use_pallas,
+                            precision=precision)
 
-    return Decoder("fused", fn, {"use_pallas": use_pallas, **static}, _memory)
+    return Decoder("fused", fn, {"use_pallas": use_pallas,
+                                 "precision": precision, **static}, _memory)

@@ -172,6 +172,12 @@ def sieve_mp_decode(logA, logB, logPi, y, A_posF,
     """
     T = int(y.shape[0])
     K = logA.shape[0]
+    if T == 1:
+        # degenerate case: the reference's pair flattening needs >= 2 output
+        # slots (change_mp_path writes both pair states unconditionally,
+        # SIEVE-Mp.c:470-471 — out of bounds at T=1); decode directly.
+        d0 = logPi + logB[:, y[0]]
+        return jnp.argmax(d0).astype(jnp.int32)[None]
     if use_pallas == "auto":
         use_pallas = K % 8 == 0
     interp = _pallas_interpret()

@@ -1,0 +1,51 @@
+"""Degenerate shapes: every algorithm must agree with vanilla on tiny
+T/M and handle bad arguments cleanly (verify-skill probes)."""
+
+import numpy as np
+import pytest
+
+import flash_viterbi_tpu as fvt
+from flash_viterbi_tpu.oracle import framework as ofw
+
+ALGS = [
+    ("vanilla", {}),
+    ("checkpoint", {}),
+    ("fused", {}),
+    ("flash", {"num_segments": 8}),
+    ("flash", {"num_segments": 8, "mode": "lean"}),
+    ("sieve_mp", {}),
+    ("beam", {}),  # beam_width filled with K at call site
+    ("flash_bs", {"num_segments": 8}),
+]
+
+
+@pytest.mark.parametrize("T", [1, 2, 3, 4])
+def test_tiny_T_all_algorithms(T):
+    hmm, y = fvt.make_sparse_hmm(K=16, M=4, T=T, prob=0.5, seed=T)
+    want = ofw.vanilla(hmm.A, hmm.B, hmm.Pi, y)
+    for alg, kw in ALGS:
+        kw = dict(kw)
+        if alg in ("beam", "flash_bs"):
+            kw["beam_width"] = hmm.K
+        r = fvt.decode(hmm, y, algorithm=alg, pad_to=1, warmup=False, **kw)
+        np.testing.assert_array_equal(r.path, want, err_msg=f"{alg} {kw}")
+
+
+def test_single_symbol_alphabet():
+    hmm, y = fvt.make_sparse_hmm(K=8, M=1, T=5, prob=0.9, seed=5)
+    want = ofw.vanilla(hmm.A, hmm.B, hmm.Pi, y)
+    r = fvt.decode(hmm, y, algorithm="flash", pad_to=1, warmup=False)
+    np.testing.assert_array_equal(r.path, want)
+
+
+def test_unknown_algorithm_raises():
+    hmm, y = fvt.make_sparse_hmm(K=8, M=4, T=4, prob=0.5, seed=1)
+    with pytest.raises(KeyError, match="unknown algorithm"):
+        fvt.decode(hmm, y, algorithm="nope")
+
+
+def test_segments_exceeding_half_T_clamp(small_problem):
+    hmm, y = small_problem
+    v = fvt.decode(hmm, y, algorithm="vanilla", warmup=False)
+    f = fvt.decode(hmm, y, algorithm="flash", num_segments=1000, warmup=False)
+    np.testing.assert_array_equal(v.path, f.path)
