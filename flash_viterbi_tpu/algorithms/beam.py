@@ -23,7 +23,7 @@ from .flash_bs import beam_step, beam_topk
 
 def beam_decode(logA, logB, logPi, y, beam_width: int):
     T = y.shape[0]
-    B = int(beam_width)
+    B = min(int(beam_width), int(logA.shape[0]))  # clamp: beam cannot exceed K
     emits = logB[:, y].T  # (T, K)
     vals0, states0 = beam_topk(logPi + emits[0], B)
 

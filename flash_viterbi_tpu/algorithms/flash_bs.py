@@ -124,7 +124,7 @@ def _segment_beam(logA, logPi, seg_emits, init_state, is_first, end_state, nstep
 
 def flash_bs_decode(logA, logB, logPi, y, beam_width: int, num_segments: int = 8):
     T = y.shape[0]
-    B = int(beam_width)
+    B = min(int(beam_width), int(logA.shape[0]))  # clamp: beam cannot exceed K
     N = int(num_segments)
     if N < 1 or T < 2 * N:
         N = max(1, min(N, T // 2)) or 1

@@ -120,24 +120,6 @@ def _emit(ctx: _Ctx, frame: int, i: int, h: int) -> float:
     return ctx.acoustic[frame].get((i, h), 0.0)
 
 
-def _relax_step(ctx: _Ctx, T1, current, overall, frame):
-    """One beam relaxation sweep; returns (new_t1 dict, winner dict).
-
-    winner[h] = the beam state that set new_t1[h] (strict-> semantics:
-    first strictly-greater candidate in traversal order wins).
-    """
-    new_t1: dict = {}
-    winner: dict = {}
-    for node_i in current:
-        for h, prob in ctx.A_out[node_i]:
-            if h in overall:
-                cand = T1.get(node_i, float("-inf")) + prob + _emit(ctx, frame, node_i, h)
-                if cand > new_t1.get(h, float("-inf")):
-                    new_t1[h] = cand
-                    winner[h] = node_i
-    return new_t1, winner
-
-
 def _top_beam(ctx: _Ctx, new_t1: dict) -> list:
     """heapq.nlargest over the dict keys — stable: earlier-inserted keys win
     ties (:172-173)."""
