@@ -158,7 +158,9 @@ def _build(step: int = 0, use_pallas: bool | str = "auto", **static) -> Decoder:
     def fn(logA, logB, logPi, y):
         up = use_pallas
         if up == "auto":
-            up = jax.default_backend() == "tpu" and logA.shape[0] % 8 == 0
+            up = jax.default_backend() == "tpu"
+        if up and logA.shape[0] % 8:
+            up = False  # kernel needs lane-aligned K; fall back cleanly
         if up:
             return checkpoint_decode_pallas(logA, logB, logPi, y, step=step)
         return checkpoint_decode(logA, logB, logPi, y, step=step)

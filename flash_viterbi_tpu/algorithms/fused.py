@@ -40,6 +40,8 @@ def fused_decode(logA, logB, logPi, y, use_pallas: bool | str = "auto",
         logA = logA.astype(jnp.bfloat16)
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and logA.shape[0] % 8:
+        use_pallas = False  # kernel needs lane-aligned K; fall back cleanly
     if use_pallas:
         interpret = jax.default_backend() != "tpu"
         dfin, ptrs = forward_scan_pallas(delta0, logA, emits[1:],

@@ -179,7 +179,9 @@ def sieve_mp_decode(logA, logB, logPi, y, A_posF,
         d0 = logPi + logB[:, y[0]]
         return jnp.argmax(d0).astype(jnp.int32)[None]
     if use_pallas == "auto":
-        use_pallas = K % 8 == 0
+        use_pallas = True
+    if use_pallas and K % 8:
+        use_pallas = False  # kernel needs lane-aligned K; fall back cleanly
     interp = _pallas_interpret()
     emits = logB[:, y].T  # (T, K)
     nodes = build_tree(T)
