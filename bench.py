@@ -29,7 +29,10 @@ K1, K2 = 1, 5  # chain lengths for marginal timing
 def main() -> None:
     global K, M, T, PROB
     if "--smoke" in sys.argv:
+        global K1, K2
         K, M, T, PROB = 256, 10, 64, 0.2
+        K1, K2 = 1, 17  # tiny decode: longer chain so the marginal
+        # signal clears the ~ms sync-noise floor
 
     import jax
     import jax.numpy as jnp
@@ -49,31 +52,32 @@ def main() -> None:
     logPi0 = jnp.asarray(lh.logPi)
     yd = jnp.asarray(y, jnp.int32)
 
-    def chain(k: int):
-        @jax.jit
-        def f(logPi):
-            p = None
-            for _ in range(k):
-                p = flash_decode(logA, logB, logPi, yd, num_segments=8)
-                # data dependency that provably cannot change logPi's bits
-                logPi = logPi + p[0].astype(jnp.float32) * jnp.float32(1e-30)
-            return p
-        return f
+    from functools import partial
 
-    f1, f2 = chain(K1), chain(K2)
-    path = np.asarray(f1(logPi0))  # compile + correctness sample
-    int(f2(logPi0)[0])  # compile
+    # arrays are explicit jit arguments (closed-over constants get embedded
+    # in the remote-compile payload and overflow its size limit at large K)
+    @partial(jax.jit, static_argnames="k")
+    def chain(logA, logB, logPi, yd, k):
+        p = None
+        for _ in range(k):
+            p = flash_decode(logA, logB, logPi, yd, num_segments=8)
+            # data dependency that provably cannot change logPi's bits
+            logPi = logPi + p[0].astype(jnp.float32) * jnp.float32(1e-30)
+        return p
 
-    def run(f, reps=3):
+    path = np.asarray(chain(logA, logB, logPi0, yd, k=K1))  # compile + sample
+    int(chain(logA, logB, logPi0, yd, k=K2)[0])  # compile
+
+    def run(k, reps=3):
         ts = []
         for i in range(reps):
             arg = logPi0 + jnp.float32(i) * jnp.float32(1e-30)
             t0 = time.perf_counter()
-            int(f(arg)[0])  # forced readback = real sync
+            int(chain(logA, logB, arg, yd, k=k)[0])  # readback = real sync
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    t1, t2 = run(f1), run(f2)
+    t1, t2 = run(K1), run(K2)
     wall = max((t2 - t1) / (K2 - K1), 1e-9)
 
     want = oracle.vanilla(hmm.A, hmm.B, hmm.Pi, y)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import maxplus as mp
-from ..ops.pallas.maxplus import forward_scan_pallas
+from ..ops.pallas.maxplus import forward_scan_pallas, maxplus_scan
 from .base import Decoder, register
 
 
@@ -50,6 +50,38 @@ def fused_decode(logA, logB, logPi, y, use_pallas: bool | str = "auto",
         dfin, ptrs = mp.forward_scan(delta0, logA, emits[1:])
     last = mp.argmax_final(dfin)
     return mp.backtrack(ptrs, last)
+
+
+def fused_decode_batch(logA, logB, logPi, ys, use_pallas: bool | str = "auto",
+                       precision: str = "fp32"):
+    """Decode a whole (BATCH, T) batch through the N-lane kernel.
+
+    The kernel streams each logA tile ONCE per trellis step for the entire
+    batch (a vmap of the single-sequence decoder re-reads logA per
+    sequence), so until the VPU saturates (~batch 4-8 at K=4096) batching
+    is nearly free — per-chip throughput multiplies by the batch size.
+    Returns (BATCH, T) paths identical to per-sequence ``fused_decode``.
+    """
+    Bs, T = ys.shape
+    if precision == "bf16":
+        logA = logA.astype(jnp.bfloat16)
+    emits = jnp.transpose(logB[:, ys], (2, 1, 0))  # (K,Bs,T) -> (T,Bs,K)
+    delta0 = logPi[None, :] + emits[0]
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and logA.shape[0] % 8:
+        use_pallas = False
+    if use_pallas:
+        interpret = jax.default_backend() != "tpu"
+        dfin, ptrs = maxplus_scan(logA, emits[1:], delta0, interpret=interpret)
+    else:
+        def step(d, e):
+            scores = d[:, :, None] + logA[None, :, :]
+            return jnp.max(scores, axis=1) + e, jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+        dfin, ptrs = jax.lax.scan(step, delta0, emits[1:])
+    last = jnp.argmax(dfin, axis=1).astype(jnp.int32)  # (Bs,)
+    return jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, last)  # (Bs, T)
 
 
 def _memory(K: int, T: int, **_) -> int:

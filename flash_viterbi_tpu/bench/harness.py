@@ -105,17 +105,21 @@ def run_one(cfg: RunConfig) -> dict:
     logPi0 = jnp.asarray(lh.logPi)
     yd = jnp.asarray(y, jnp.int32)
 
-    def make_chain(k):
-        @jax.jit
-        def f(logPi):
-            p = None
-            for _ in range(k):
-                p = dec(logA, logB, logPi, yd)
-                logPi = logPi + p[0].astype(jnp.float32) * jnp.float32(1e-30)
-            return p
+    from functools import partial
 
+    # arrays as explicit jit args: closed-over constants are embedded in
+    # the remote-compile payload and overflow its limit at large K
+    @partial(jax.jit, static_argnames="k")
+    def _chain(logA, logB, logPi, yd, k):
+        p = None
+        for _ in range(k):
+            p = dec(logA, logB, logPi, yd)
+            logPi = logPi + p[0].astype(jnp.float32) * jnp.float32(1e-30)
+        return p
+
+    def make_chain(k):
         def call():
-            return f(logPi0)
+            return _chain(logA, logB, logPi0, yd, k=k)
 
         return call
 

@@ -33,38 +33,66 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = jnp.float32(-jnp.inf)
 
-# Per-buffer VMEM budget for the logA tile (double-buffered by the pipeline).
-_TILE_BYTES = 4 * 1024 * 1024
+# VMEM budget for the (double-buffered) logA tile: leave headroom for the
+# carry/accumulator scratch and the emission/pointer blocks.
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _pick_bk(K: int) -> int:
-    for bk in (512, 256, 128, 64, 32, 16, 8):
-        if K % bk == 0 and bk * K * 4 <= _TILE_BYTES:
-            return bk
-    raise ValueError(f"K={K} must be a multiple of 8 (pad the model first)")
+def _pick_tiles(K: int) -> tuple[int, int]:
+    """(BK, BI): source-tile rows and dest-tile lanes.
+
+    BK must stay >= 128 (lane slices of the carry must be 128-aligned); when
+    the (BK, K) tile would blow VMEM, the destination dim is tiled instead.
+    """
+    if K % 8 or (K % 128 and K > 128):
+        raise ValueError(f"K={K} must be a multiple of 8 (pad the model first)")
+    for bk in (512, 256, 128):
+        if K % bk == 0 and 2 * bk * K * 4 <= _VMEM_BUDGET:
+            return bk, K
+    if K < 128:  # tiny models: whole matrix fits trivially
+        return K, K
+    BK = 128
+    BI = K
+    while 2 * BK * BI * 4 > _VMEM_BUDGET:
+        BI //= 2
+    if BI < 128 or K % BI:
+        raise ValueError(f"cannot tile K={K} into VMEM")
+    return BK, BI
 
 
-def _scan_kernel(delta0T_ref, logA_ref, emits_ref, dfin_ref, ptr_ref,
-                 dcol_ref, accv_ref, acca_ref, *, N: int, BK: int):
+def _scan_kernel(delta0_ref, logA_ref, emits_ref, dfin_ref, ptr_ref,
+                 dbuf_ref, accv_ref, acca_ref, *, N: int, BK: int, BI: int):
+    """Grid (T', IT, KT): dest tiles middle, source tiles innermost.
+
+    The carry is ping-ponged between ``dbuf[t%2]`` (read) and
+    ``dbuf[(t+1)%2]`` (write) so dest tiles written at step t never corrupt
+    the reads of later dest tiles in the same step.
+    """
     t = pl.program_id(0)
-    kt = pl.program_id(1)
-    KT = pl.num_programs(1)
+    it = pl.program_id(1)
+    kt = pl.program_id(2)
+    KT = pl.num_programs(2)
+    cur = t % 2
+    nxt = (t + 1) % 2
 
-    @pl.when((t == 0) & (kt == 0))
+    @pl.when((t == 0) & (it == 0) & (kt == 0))
     def _():
-        dcol_ref[:] = delta0T_ref[:]
+        dbuf_ref[0, :, :] = delta0_ref[:]
 
-    tile = logA_ref[:]  # (BK, K)
-    d_col = dcol_ref[pl.ds(kt * BK, BK), :]  # (BK, N)
+    tile = logA_ref[:]  # (BK, BI)
+    # carry lives in row layout (N, K) — a (K, N) column scratch would be
+    # lane-padded to (K, 128) and blow VMEM at large K; the per-tile
+    # (N, BK) -> (BK, N) transpose is a handful of vreg shuffles
+    d_col = jnp.transpose(dbuf_ref[cur, :, pl.ds(kt * BK, BK)])  # (BK, N)
 
-    K = tile.shape[1]
+    K = dbuf_ref.shape[2]
     # source-index plane for lowest-index tie-breaking (Mosaic's argmax does
     # not guarantee first-occurrence on exact fp32 ties)
-    src_idx = jax.lax.broadcasted_iota(jnp.int32, (BK, K), 0) + kt * BK
+    src_idx = jax.lax.broadcasted_iota(jnp.int32, (BK, BI), 0) + kt * BK
 
     for n in range(N):  # static unroll; N is 1 (scan) or the segment count
-        tmp = d_col[:, n:n + 1] + tile  # (BK, K)
-        val = jnp.max(tmp, axis=0, keepdims=True)  # (1, K)
+        tmp = d_col[:, n:n + 1] + tile  # (BK, BI)
+        val = jnp.max(tmp, axis=0, keepdims=True)  # (1, BI)
         loc = jnp.min(jnp.where(tmp == val, src_idx, K + kt * BK),
                       axis=0, keepdims=True)
 
@@ -82,10 +110,10 @@ def _scan_kernel(delta0T_ref, logA_ref, emits_ref, dfin_ref, ptr_ref,
 
     @pl.when(kt == KT - 1)
     def _():
-        newd = accv_ref[:] + emits_ref[0, :, :]  # (N, K)
+        newd = accv_ref[:] + emits_ref[0, :, :]  # (N, BI)
         ptr_ref[0, :, :] = acca_ref[:]
         dfin_ref[:] = newd
-        dcol_ref[:] = jnp.transpose(newd)  # carry for step t+1
+        dbuf_ref[nxt, :, pl.ds(it * BI, BI)] = newd  # carry for step t+1
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -104,31 +132,32 @@ def maxplus_scan(logA: jax.Array, emits: jax.Array, delta0: jax.Array,
     """
     Tm, N, K = emits.shape
     assert logA.shape == (K, K) and delta0.shape == (N, K)
-    BK = _pick_bk(K)
+    BK, BI = _pick_tiles(K)
     KT = K // BK
+    IT = K // BI
 
-    grid = (Tm, KT)
-    kernel = functools.partial(_scan_kernel, N=N, BK=BK)
+    grid = (Tm, IT, KT)
+    kernel = functools.partial(_scan_kernel, N=N, BK=BK, BI=BI)
     dfin, ptrs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((K, N), lambda t, kt: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BK, K), lambda t, kt: (kt, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, K), lambda t, kt: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, K), lambda t, it, kt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, BI), lambda t, it, kt: (kt, it), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, BI), lambda t, it, kt: (t, 0, it), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((N, K), lambda t, kt: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, K), lambda t, kt: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, BI), lambda t, it, kt: (0, it), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, BI), lambda t, it, kt: (t, 0, it), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, K), jnp.float32),
             jax.ShapeDtypeStruct((Tm, N, K), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((K, N), jnp.float32),   # delta carry (column layout)
-            pltpu.VMEM((N, K), jnp.float32),   # running max
-            pltpu.VMEM((N, K), jnp.int32),     # running argmax
+            pltpu.VMEM((2, N, K), jnp.float32),  # ping-pong delta carry
+            pltpu.VMEM((N, BI), jnp.float32),    # running max
+            pltpu.VMEM((N, BI), jnp.int32),      # running argmax
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * Tm * N * K * K,
@@ -136,7 +165,7 @@ def maxplus_scan(logA: jax.Array, emits: jax.Array, delta0: jax.Array,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.transpose(delta0), logA, emits)
+    )(delta0, logA, emits)
     return dfin, ptrs
 
 
@@ -162,18 +191,18 @@ def forward_scan_pallas(delta0: jax.Array, logA: jax.Array, emits: jax.Array,
 # bytes).  Requires M * K * 4 <= ~2 MB.
 # ---------------------------------------------------------------------------
 
-def _scan_eg_kernel(ys_ref, delta0T_ref, logA_ref, logBT_ref, dfin_ref,
-                    ptr_ref, dcol_ref, accv_ref, acca_ref, *, N: int, BK: int):
+def _scan_eg_kernel(ys_ref, delta0_ref, logA_ref, logBT_ref, dfin_ref,
+                    ptr_ref, drow_ref, accv_ref, acca_ref, *, N: int, BK: int):
     t = pl.program_id(0)
     kt = pl.program_id(1)
     KT = pl.num_programs(1)
 
     @pl.when((t == 0) & (kt == 0))
     def _():
-        dcol_ref[:] = delta0T_ref[:]
+        drow_ref[:] = delta0_ref[:]
 
     tile = logA_ref[:]  # (BK, K)
-    d_col = dcol_ref[pl.ds(kt * BK, BK), :]  # (BK, N)
+    d_col = jnp.transpose(drow_ref[:, pl.ds(kt * BK, BK)])  # (BK, N)
     K = tile.shape[1]
     src_idx = jax.lax.broadcasted_iota(jnp.int32, (BK, K), 0) + kt * BK
 
@@ -202,7 +231,7 @@ def _scan_eg_kernel(ys_ref, delta0T_ref, logA_ref, logBT_ref, dfin_ref,
         newd = accv_ref[:] + emit  # (N, K)
         ptr_ref[0, :, :] = acca_ref[:]
         dfin_ref[:] = newd
-        dcol_ref[:] = jnp.transpose(newd)
+        drow_ref[:] = newd
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -222,7 +251,8 @@ def maxplus_scan_emitgather(logA: jax.Array, logBT: jax.Array, ys: jax.Array,
     K = logA.shape[0]
     M = logBT.shape[0]
     assert logBT.shape == (M, K) and delta0.shape == (N, K)
-    BK = _pick_bk(K)
+    BK, BI = _pick_tiles(K)
+    assert BI == K, "emit-gather kernel requires untiled dest dim"
     KT = K // BK
 
     kernel = functools.partial(_scan_eg_kernel, N=N, BK=BK)
@@ -232,7 +262,7 @@ def maxplus_scan_emitgather(logA: jax.Array, logBT: jax.Array, ys: jax.Array,
         in_specs=[
             # whole symbol array in SMEM (tiny; long-T callers chunk)
             pl.BlockSpec((Tm, N), lambda t, kt: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((K, N), lambda t, kt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, K), lambda t, kt: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BK, K), lambda t, kt: (kt, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((M, K), lambda t, kt: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -245,7 +275,7 @@ def maxplus_scan_emitgather(logA: jax.Array, logBT: jax.Array, ys: jax.Array,
             jax.ShapeDtypeStruct((Tm, N, K), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((K, N), jnp.float32),
+            pltpu.VMEM((N, K), jnp.float32),
             pltpu.VMEM((N, K), jnp.float32),
             pltpu.VMEM((N, K), jnp.int32),
         ],
@@ -255,10 +285,16 @@ def maxplus_scan_emitgather(logA: jax.Array, logBT: jax.Array, ys: jax.Array,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(ys, jnp.transpose(delta0), logA, logBT)
+    )(ys, delta0, logA, logBT)
     return dfin, ptrs
 
 
 def emitgather_supported(K: int, M: int) -> bool:
-    """VMEM residency bound for the transposed emission table."""
-    return M * K * 4 <= 2 * 1024 * 1024
+    """VMEM residency bound for the transposed emission table (and the
+    untiled-dest constraint of the eg kernel)."""
+    if M * K * 4 > 2 * 1024 * 1024:
+        return False
+    try:
+        return _pick_tiles(K)[1] == K
+    except ValueError:
+        return False

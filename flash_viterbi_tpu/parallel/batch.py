@@ -61,6 +61,18 @@ def decode_batch(
 
         mem_algorithm = "flash"
         dec = build("flash", num_segments=num_segments or 8, **static)
+    elif algorithm == "fused":
+        # batched kernel: logA streamed once per step for the whole batch
+        from ..algorithms.fused import fused_decode_batch
+
+        dec = build("fused", **static)
+        fn = jax.jit(lambda a, b, p, yy: fused_decode_batch(a, b, p, yy,
+                                                            **dec.static))
+
+        def run():
+            return fn(logA, logB, logPi, yd)
+
+        mem_algorithm = "fused"
     else:
         if num_segments is not None:
             static.setdefault("num_segments", num_segments)

@@ -41,6 +41,26 @@ def test_scan_tie_breaking():
     np.testing.assert_array_equal(np.asarray(pref), np.asarray(pk))
 
 
+def test_dest_tiled_scan(monkeypatch):
+    """Large-K path: when the (BK, K) tile exceeds VMEM, the dest dim is
+    tiled and the carry ping-pongs — must stay bit-exact."""
+    import flash_viterbi_tpu.ops.pallas.maxplus as pk
+    from flash_viterbi_tpu.models.generate import make_sparse_hmm
+
+    monkeypatch.setattr(pk, "_VMEM_BUDGET", 2 * 128 * 256 * 4)  # BI=256 @ K=512
+    hmm, y = make_sparse_hmm(K=512, M=8, T=12, prob=0.2, seed=9)
+    lh = hmm.log()
+    logA, logB, logPi = (jnp.asarray(x) for x in (lh.logA, lh.logB, lh.logPi))
+    emits = logB[:, jnp.asarray(y, jnp.int32)].T
+    d0 = logPi + emits[0]
+    assert pk._pick_tiles(512) == (128, 256)
+    dref, pref = mp.forward_scan(d0, logA, emits[1:])
+    dk, pkk = pk.maxplus_scan.__wrapped__(logA, emits[1:][:, None, :],
+                                          d0[None, :], interpret=True)
+    np.testing.assert_array_equal(np.asarray(dref), np.asarray(dk[0]))
+    np.testing.assert_array_equal(np.asarray(pref), np.asarray(pkk[:, 0, :]))
+
+
 def test_batched_scan(small_problem):
     hmm, y = small_problem
     logA, logB, logPi = _tables(hmm)
