@@ -44,11 +44,15 @@ def checkpoint_decode_pallas(logA, logB, logPi, y, step: int = 0):
     T = y.shape[0]
     K = logA.shape[0]
     if step <= 0:
-        step = int(math.floor(math.sqrt(T)))
+        # sqrt(T) chunks, but per-kernel-call overhead dominates past ~100
+        # chunks on the remote runtime — cap the call count at long T
+        step = max(int(math.floor(math.sqrt(T))), min(1024, T // 64))
     from .flash import _pallas_interpret
 
     interp = _pallas_interpret()
-    eg = emitgather_supported(K, logB.shape[1])
+    # the eg kernel keeps the chunk's symbols in SMEM, whose windows are
+    # lane-padded (step*128*4 bytes) — 1024 steps is the 512 KB sweet spot
+    eg = emitgather_supported(K, logB.shape[1]) and step <= 1024
     logBT = jnp.transpose(logB)
 
     bounds = list(range(0, T - 1, step)) + [T - 1]  # chunk edges (times)
