@@ -116,6 +116,88 @@ def _scan_kernel(delta0_ref, logA_ref, emits_ref, dfin_ref, ptr_ref,
         dbuf_ref[nxt, :, pl.ds(it * BI, BI)] = newd  # carry for step t+1
 
 
+# Below this state count the whole logA matrix stays VMEM-resident and the
+# time loop runs inside the kernel — zero HBM re-streaming per step, which
+# is what makes small-K long-T decoding VPU-bound instead of launch-bound.
+_RESIDENT_MAX_K = 1024
+_RESIDENT_CHUNK = 128
+
+
+def _scan_res_kernel(delta0_ref, logA_ref, emits_ref, dfin_ref, ptr_ref,
+                     drow_ref, *, N: int, C: int, Tm: int):
+    """Resident mode: grid over time chunks only; logA never leaves VMEM."""
+    tc = pl.program_id(0)
+
+    @pl.when(tc == 0)
+    def _():
+        drow_ref[:] = delta0_ref[:]
+
+    A = logA_ref[:]  # (K, K), VMEM-resident
+    K = A.shape[0]
+    src_idx = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+
+    def body(c, _):
+        valid = tc * C + c < Tm
+        d = drow_ref[:]  # (N, K)
+        for n in range(N):
+            col = jnp.transpose(d[n:n + 1, :])  # (K, 1)
+            tmp = col + A  # (K, K)
+            val = jnp.max(tmp, axis=0, keepdims=True)
+            loc = jnp.min(jnp.where(tmp == val, src_idx, K),
+                          axis=0, keepdims=True)
+            emit = emits_ref[c, n:n + 1, :]
+            newd = val + emit
+            iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+            ptr_ref[c, n:n + 1, :] = jnp.where(valid, loc, iota_row)
+            drow_ref[n:n + 1, :] = jnp.where(valid, newd, d[n:n + 1, :])
+        return 0
+
+    jax.lax.fori_loop(0, C, body, 0)
+
+    @pl.when(tc == pl.num_programs(0) - 1)
+    def _():
+        dfin_ref[:] = drow_ref[:]
+
+
+def _maxplus_scan_resident(logA, emits, delta0, interpret: bool):
+    Tm, N, K = emits.shape
+    C = min(_RESIDENT_CHUNK, Tm)
+    TC = -(-Tm // C)
+    Tp = TC * C
+    if Tp != Tm:
+        pad = jnp.zeros((Tp - Tm, N, K), emits.dtype)
+        emits = jnp.concatenate([emits, pad])
+
+    kernel = functools.partial(_scan_res_kernel, N=N, C=C, Tm=Tm)
+    dfin, ptrs = pl.pallas_call(
+        kernel,
+        grid=(TC,),
+        in_specs=[
+            pl.BlockSpec((N, K), lambda tc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, K), lambda tc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, N, K), lambda tc: (tc, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, K), lambda tc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, N, K), lambda tc: (tc, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, K), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, N, K), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, K), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tm * N * K * K,
+            bytes_accessed=K * K * 4 + Tm * N * K * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(delta0, logA, emits)
+    return dfin, ptrs[:Tm]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def maxplus_scan(logA: jax.Array, emits: jax.Array, delta0: jax.Array,
                  interpret: bool = False):
@@ -132,6 +214,9 @@ def maxplus_scan(logA: jax.Array, emits: jax.Array, delta0: jax.Array,
     """
     Tm, N, K = emits.shape
     assert logA.shape == (K, K) and delta0.shape == (N, K)
+    if (K <= _RESIDENT_MAX_K and logA.dtype == jnp.float32
+            and (K * K + 2 * _RESIDENT_CHUNK * N * K) * 4 <= _VMEM_BUDGET):
+        return _maxplus_scan_resident(logA, emits, delta0, interpret)
     BK, BI = _pick_tiles(K)
     KT = K // BK
     IT = K // BI
