@@ -214,6 +214,8 @@ def maxplus_scan(logA: jax.Array, emits: jax.Array, delta0: jax.Array,
     """
     Tm, N, K = emits.shape
     assert logA.shape == (K, K) and delta0.shape == (N, K)
+    if Tm == 0:  # T=1 sequences: nothing to scan
+        return delta0, jnp.zeros((0, N, K), jnp.int32)
     if (K <= _RESIDENT_MAX_K and logA.dtype == jnp.float32
             and (K * K + 2 * _RESIDENT_CHUNK * N * K) * 4 <= _VMEM_BUDGET):
         return _maxplus_scan_resident(logA, emits, delta0, interpret)

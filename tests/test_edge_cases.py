@@ -31,6 +31,17 @@ def test_tiny_T_all_algorithms(T):
         np.testing.assert_array_equal(r.path, want, err_msg=f"{alg} {kw}")
 
 
+def test_t1_forced_pallas():
+    """T=1 with use_pallas=True hits the empty-scan path (regression:
+    ZeroDivisionError in the resident-chunk computation)."""
+    hmm, y = fvt.make_sparse_hmm(K=64, M=5, T=1, prob=0.25, seed=5249)
+    want = ofw.vanilla(hmm.A, hmm.B, hmm.Pi, y)
+    for alg in ("fused", "checkpoint"):
+        r = fvt.decode(hmm, y, algorithm=alg, use_pallas=True, pad_to=1,
+                       warmup=False)
+        np.testing.assert_array_equal(r.path, want)
+
+
 def test_single_symbol_alphabet():
     hmm, y = fvt.make_sparse_hmm(K=8, M=1, T=5, prob=0.9, seed=5)
     want = ofw.vanilla(hmm.A, hmm.B, hmm.Pi, y)
