@@ -1,10 +1,10 @@
 """Fused full-state decoder — the framework's flagship TPU speed path.
 
 One Pallas kernel runs the whole forward recursion at HBM speed-of-light
-(~84 us/step at K=4096 vs ~200 us for the XLA scan, see ``ops.pallas``),
-materializing the full pointer table; backtrack is a reverse scan of O(1)
-gathers.  Decoded paths are bit-identical to ``vanilla`` (same framework
-numerics contract, verified in tests).
+(~84 us/step at K=4096; ~92% of theoretical bandwidth at K=16384 — see
+results/SCALE.md), materializing the full pointer table; backtrack is a
+reverse scan of O(1) gathers.  Decoded paths are bit-identical to
+``vanilla`` (same framework numerics contract, verified in tests).
 
 Capability mapping vs the reference: this is the TPU-native replacement for
 the *performance* role of FLASH (``src/FLASH_Viterbi_multithread.c``) at
