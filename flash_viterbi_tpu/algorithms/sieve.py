@@ -279,6 +279,165 @@ def sieve_mp_decode(logA, logB, logPi, y, A_posF,
     return out.at[: len(out_spec)].set(vals.astype(jnp.int32))
 
 
+# ---------------------------------------------------------------------------
+# SIEVE-BS-Mp, TPU-native: beam-pruned fixed-median D&C
+# ---------------------------------------------------------------------------
+
+def sieve_bs_mp_decode(logA, logB_raw, logPi, y, A_posF, beam_width: int):
+    """TPU-native SIEVE-BS-Mp (``sieve_beam_search.py:351-501`` /
+    ``SIEVE-BS-Mp.c``): fixed-median D&C with static top-B beam pruning,
+    on the same static level-batched tree as :func:`sieve_mp_decode`.
+
+    Reference semantics kept in dense masked form: only out-edges of the
+    current token set relax (states with no in-edge from the beam drop
+    out); emission misses contribute 0 (``B==0`` dict fallthrough,
+    :405-409); the beam is the top-``min(B, #touched)`` of touched states;
+    the median-step beam becomes the right child's token set; left
+    children inherit the parent's tokens; left children force
+    ``last=x_a``, right children inherit the parent's ``last`` (:496).
+    Documented delta: ties resolve by lowest state index (the reference's
+    dict-insertion order); identical off ties.
+
+    Returns the flattened in-order pair path ``[p0.x, p0.y, p1.y, ...]``
+    (the reference's pretty_print_path layout), -1 where a segment's
+    median pair was never set.
+    """
+    T = int(y.shape[0])
+    K = logA.shape[0]
+    B = min(int(beam_width), K)
+    if T == 1:
+        d0 = logPi + logB_raw[:, y[0]]
+        return jnp.argmax(d0).astype(jnp.int32)[None]
+
+    # miss-as-zero emission table (reference acoustic dict fallthrough)
+    emitQ = jnp.where(logB_raw > NEG, logB_raw, 0.0)  # (K, M)
+    iota = jnp.arange(K, dtype=jnp.int32)
+    NEGBIG = jnp.float32(-3.0e38)
+    nodes = build_tree(T)
+
+    masks: dict[int, jax.Array] = {0: jnp.ones((K,), jnp.float32)}
+    tokens: dict[int, jax.Array | None] = {0: jnp.ones((K,), jnp.float32)}
+    lasts: dict[int, jax.Array] = {0: jnp.asarray(-2, jnp.int32)}  # -2 = argmax
+    pairs_x: dict[int, jax.Array] = {}
+    pairs_y: dict[int, jax.Array] = {}
+
+    def run_group(group):
+        S = len(group)
+        length = group[0].length
+        th = length // 2
+        mask = jnp.stack([masks[n.idx] for n in group])  # (S, K)
+        cur = jnp.stack([tokens[n.idx] for n in group])  # (S, K)
+        last_f = jnp.stack([lasts[n.idx] for n in group])
+        starts = jnp.asarray([n.start for n in group])
+
+        sym0 = y[starts]  # (S,)
+        # root Pi threads through every subproblem unchanged (reference
+        # Pi=Pi, :233); init over the segment's index set
+        T1 = jnp.where(mask > 0,
+                       logPi[None, :] + emitQ[:, sym0].T, NEG)
+
+        px = jnp.full((S, K), -1, jnp.int32)
+        py = jnp.full((S, K), -1, jnp.int32)
+        mid_beam = cur
+
+        def step(carry, j):
+            T1, cur, px, py, mid_beam = carry
+            sym = y[starts + j]
+            T1m = jnp.where(cur > 0, T1, NEG)
+            scores = T1m[:, :, None] + logA[None, :, :]  # (S, K, K)
+            val = jnp.max(scores, axis=1)
+            win = jnp.argmax(scores, axis=1).astype(jnp.int32)
+            touched = jnp.logical_and(
+                (cur @ (logA > NEG).astype(jnp.float32)) > 0, mask > 0)
+            newT1 = jnp.where(touched, val + emitQ[:, sym].T, NEG)
+
+            rec = j == th
+            px_rec = jnp.where(rec, win, jnp.take_along_axis(px, win, axis=1))
+            py_rec = jnp.where(rec, jnp.broadcast_to(iota[None, :], (S, K)),
+                               jnp.take_along_axis(py, win, axis=1))
+            prop = j >= th
+            px = jnp.where(prop, px_rec, px)
+            py = jnp.where(prop, py_rec, py)
+
+            effB = jnp.minimum(B, jnp.sum(touched, axis=1))
+            vals = jnp.where(touched, newT1, NEGBIG)
+            _, top_idx = jax.lax.top_k(vals, B)
+            slot_ok = jnp.arange(B)[None, :] < effB[:, None]
+            newcur = jnp.zeros((S, K), jnp.float32).at[
+                jnp.arange(S)[:, None], top_idx
+            ].max(jnp.where(slot_ok, 1.0, 0.0))
+
+            mid_beam = jnp.where(rec, newcur, mid_beam)
+            return (newT1, newcur, px, py, mid_beam), None
+
+        (T1, cur, px, py, mid_beam), _ = jax.lax.scan(
+            step, (T1, cur, px, py, mid_beam),
+            jnp.arange(1, length))
+
+        argm = jnp.argmax(jnp.where(mask > 0, T1, NEG), axis=1).astype(jnp.int32)
+        last = jnp.where(last_f > -2, last_f, argm)
+        safe = jnp.clip(last, 0, K - 1)
+        x_a = jnp.where(last >= 0,
+                        jnp.take_along_axis(px, safe[:, None], axis=1)[:, 0], -1)
+        x_b = jnp.where(last >= 0,
+                        jnp.take_along_axis(py, safe[:, None], axis=1)[:, 0], -1)
+        return x_a, x_b, mid_beam, last
+
+    max_depth = max(n.depth for n in nodes)
+    for depth in range(max_depth + 1):
+        level = [n for n in nodes if n.depth == depth]
+        for length in sorted({n.length for n in level}):
+            group = [n for n in level if n.length == length]
+            x_a, x_b, mid_beam, last = run_group(group)
+            n_left = length // 2
+            n_right = length - n_left
+            safe_a = jnp.maximum(x_a, 0)
+            safe_b = jnp.maximum(x_b, 0)
+            onehot_a = jax.nn.one_hot(safe_a, K, dtype=jnp.float32)
+            onehot_b = jax.nn.one_hot(safe_b, K, dtype=jnp.float32)
+            mask = jnp.stack([masks[n.idx] for n in group])
+            if any(n.left >= 0 for n in group):
+                # BFS bound is N_left hops w/ depth-from-1 counting ==
+                # <= N_left-1 edges (single_node_ancestors :545-588)
+                lmask = _bfs_masks(jnp.transpose(A_posF), onehot_a,
+                                   jnp.ones_like(mask), n_left - 1)
+                lmask = jnp.maximum(lmask, onehot_a)
+            if any(n.right >= 0 for n in group):
+                rmask = _bfs_masks(A_posF, onehot_b, jnp.ones_like(mask),
+                                   n_right - 1)
+                rmask = jnp.maximum(rmask, onehot_b)
+            for s, n in enumerate(group):
+                pairs_x[n.idx] = x_a[s]
+                pairs_y[n.idx] = x_b[s]
+                if n.left >= 0:
+                    masks[n.left] = lmask[s]
+                    tokens[n.left] = tokens[n.idx]  # parent's tokens thread
+                    lasts[n.left] = x_a[s]
+                if n.right >= 0:
+                    masks[n.right] = rmask[s]
+                    tokens[n.right] = mid_beam[s]
+                    lasts[n.right] = last[s]  # parent's computed last (:496)
+
+    by_inorder = sorted(nodes, key=lambda n: n.inorder)
+    xs = jnp.stack([pairs_x[n.idx] for n in by_inorder])
+    ys_ = jnp.stack([pairs_y[n.idx] for n in by_inorder])
+    # pretty_print_path layout: p0.x, p0.y, then .y of each later pair
+    flat = jnp.concatenate([xs[:1], ys_[:1], ys_[1:]])[:T]
+    out = jnp.full((T,), -1, jnp.int32)
+    return out.at[: flat.shape[0]].set(flat.astype(jnp.int32))
+
+
+@register("sieve_bs_mp")
+def _build_bs_mp(beam_width: int = 64, **static) -> Decoder:
+    def fn(logA, logB, logPi, y):
+        A_posF = (logA > NEG).astype(jnp.float32)
+        return sieve_bs_mp_decode(logA, logB, logPi, y, A_posF,
+                                  beam_width=beam_width)
+
+    return Decoder("sieve_bs_mp", fn, {"beam_width": beam_width, **static},
+                   lambda K, T, **_: T * beam_width * 8 + 4 * K * 4)
+
+
 def _memory(K: int, T: int, **_) -> int:
     # per level: group pointer tables + masks + planes (dominant term: the
     # longest level's (T, K) pointer rows)

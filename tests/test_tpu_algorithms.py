@@ -49,6 +49,25 @@ def test_sieve_mp_odd_lengths(T):
     np.testing.assert_array_equal(r.path, want)
 
 
+@pytest.mark.parametrize("K,M,T,prob,seed,bw", [
+    (48, 8, 24, 0.25, 3, 8),
+    (64, 12, 32, 0.3, 7, 16),
+    (32, 6, 17, 0.4, 1, 4),
+])
+def test_sieve_bs_mp_matches_oracle(K, M, T, prob, seed, bw):
+    """TPU sieve_bs_mp vs the reference-Python-verified oracle (identical
+    off exact float64 ties; these fixtures have none)."""
+    from flash_viterbi_tpu.models.generate import make_sparse_hmm
+    from flash_viterbi_tpu.oracle.sieve_bs import sieve_bs_mp as oracle_bs_mp
+
+    hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+    pairs = oracle_bs_mp(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+    want = np.asarray([pairs[0][0], pairs[0][1]] + [p[1] for p in pairs[1:]])[:T]
+    r = decode(hmm, y, algorithm="sieve_bs_mp", beam_width=bw, pad_to=1,
+               warmup=False)
+    np.testing.assert_array_equal(r.path, want)
+
+
 def test_beam_full_width_equals_vanilla(small_problem):
     hmm, y = small_problem
     v = decode(hmm, y, algorithm="vanilla", warmup=False, pad_to=1)
