@@ -126,6 +126,26 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_scaling(args) -> int:
+    """Scaling report: analytic ICI model at the target config + a
+    virtual-mesh correctness sweep (parallel.scaling)."""
+    import json
+
+    from .parallel.scaling import analyze, measure_virtual
+
+    shapes = []
+    for spec in args.mesh.split(";"):
+        d, s_, t = (int(x) for x in spec.split(","))
+        shapes.append((d, s_, t))
+    for shape in shapes:
+        r = analyze(shape, K=args.K, T=args.T, batch=args.batch)
+        print(json.dumps(r.as_dict()))
+    if args.measure:
+        for row in measure_virtual(shapes):
+            print(row)
+    return 0
+
+
 def cmd_bench(args) -> int:
     from .bench.harness import RunConfig, sweep
 
@@ -170,6 +190,16 @@ def main(argv=None) -> int:
     c.add_argument("--segments", type=int, default=8)
     c.add_argument("--beam", type=int)
     c.set_defaults(fn=cmd_compare)
+
+    sc = sub.add_parser("scaling", help="ICI scaling model + virtual-mesh sweep")
+    sc.add_argument("-K", type=int, default=16384)
+    sc.add_argument("-T", type=int, default=65536)
+    sc.add_argument("--batch", type=int, default=256)
+    sc.add_argument("--mesh", default="1,1,2;1,2,2;2,2,2;1,1,8",
+                    help="semicolon-separated data,seq,state shapes")
+    sc.add_argument("--measure", action="store_true",
+                    help="also run the virtual-device sweep")
+    sc.set_defaults(fn=cmd_scaling)
 
     b = sub.add_parser("bench", help="sweep configs to per-algorithm CSVs")
     _add_problem_args(b, listy=True)
