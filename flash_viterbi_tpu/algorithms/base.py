@@ -105,7 +105,7 @@ def decode(
     return DecodeResult(
         path=np.asarray(path)[:T],
         time_s=t1 - t0,
-        memory_bytes=dec.analytic_memory(K=lh.Kp, T=T),
+        memory_bytes=dec.analytic_memory(K=K, T=T),
         algorithm=algorithm,
         extra={"K": K, "K_padded": lh.Kp, "T": T, **dec.static},
     )

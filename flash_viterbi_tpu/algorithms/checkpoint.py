@@ -149,12 +149,24 @@ def checkpoint_decode(logA, logB, logPi, y, step: int = 0):
 
 
 def _memory(K: int, T: int, step: int = 0, **_) -> int:
+    """Reference-exact (checkpoint Viterbi.c:250): sizeof(T1_previous) +
+    sizeof(T1) + sizeof(T1_current) + sizeof(checkpoints) + the max
+    backward-subroutine tables sizeof(T1_sub)+sizeof(T2_sub), where
+    T_sub = this_step + (count != T-1)."""
     if step <= 0:
         step = int(math.floor(math.sqrt(T)))
-    C = (T + step - 1) // step
-    # snapshots + double-buffered deltas + one segment's pointer table,
-    # mirroring checkpoint Viterbi.c:250's accounting shape
-    return C * K * 4 + 3 * K * 4 + step * K * 4
+    checkpoints = list(range(0, T, step))
+    C = len(checkpoints)
+    subs = []
+    count_first = True
+    for i in range(C - 1, -1, -1):
+        this_step = step if i != C - 1 else T - checkpoints[C - 1]
+        t_sub = this_step + (0 if count_first else 1)
+        count_first = False
+        subs.append(8 * K * t_sub)
+    # T1_previous[K] + snapshot matrix T1[K][C] + T1_current[K]
+    # + checkpoints[T/step+1] + max subroutine tables (:188-250)
+    return 2 * 4 * K + 4 * K * C + 4 * (T // step + 1) + max(subs)
 
 
 @register("checkpoint")

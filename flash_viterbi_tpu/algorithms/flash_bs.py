@@ -154,11 +154,18 @@ def flash_bs_decode(logA, logB, logPi, y, beam_width: int, num_segments: int = 8
 
 
 def _memory(K: int, T: int, beam_width: int = 64, num_segments: int = 8, **_) -> int:
-    B, N = beam_width, max(1, num_segments)
-    lmax = -(-T // N)
-    # per-segment beam history + slot pointers + anchor planes, reference-style
-    # analytic accounting (FLASH_BS_Viterbi_multithread.c:573-576 scaled to B)
-    return N * (lmax * B * 8 + 3 * B * 8) + (N - 1) * B * 4
+    """Reference-exact (FLASH_BS_Viterbi_multithread.c:548-576):
+    max(phase-1 heap planes, per-thread heap double buffers) +
+    sizeof(ThreadPool) + the sizeof-of-expression bug (+8).
+    element = {float, int, int} = 12 bytes."""
+    from .flash import _threadpool_sizeof
+
+    B, N = min(beam_width, K), max(1, num_segments)
+    phase1 = 0
+    if N > 2 and T >= 2 * N:
+        phase1 = (N - 1) * 4 + 2 * (N - 1) * (B + 1) * 12
+    tmp = N * 2 * (B + 1) * 12
+    return max(phase1, tmp) + _threadpool_sizeof(N) + 8
 
 
 @register("flash_bs")

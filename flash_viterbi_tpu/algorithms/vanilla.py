@@ -22,8 +22,8 @@ def vanilla_decode(logA, logB, logPi, y):
 
 
 def _memory(K: int, T: int, **_) -> int:
-    # T1[K][T] float + T2[K][T] int, as the reference reports
-    # (vanilla Viterbi.c:122-123,172)
+    # reference-exact: sizeof(T1)+sizeof(T2) with T1[K][T] float,
+    # T2[K][T] int (vanilla Viterbi.c:122-123,172)
     return K * T * 4 + K * T * 4
 
 

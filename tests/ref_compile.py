@@ -84,3 +84,16 @@ def build_and_run(name: str, workdir: str, K: int, M: int, T: int, prob: float,
     m = re.search(r"path: \[([^\]]*)\]", out)
     assert m, f"no path in reference output: {out[:500]}"
     return np.array([int(x) for x in m.group(1).split()], dtype=np.int64)
+
+
+def build_and_run_full(name: str, workdir: str, K: int, M: int, T: int,
+                       prob: float, data_path: str, threads: int | None = None,
+                       beam: int | None = None):
+    """Like build_and_run but also returns the reported ``memory:`` figure."""
+    path = build_and_run(name, workdir, K, M, T, prob, data_path, threads, beam)
+    out = subprocess.run([os.path.join(workdir, f"{name}.bin")],
+                         capture_output=True, text=True, check=True,
+                         timeout=600).stdout
+    mm = re.search(r"memory: (\d+)", out)
+    assert mm, f"no memory in reference output: {out[:500]}"
+    return path, int(mm.group(1))

@@ -12,7 +12,7 @@ from flash_viterbi_tpu.models.generate import make_sparse_hmm
 from flash_viterbi_tpu.oracle import reference as oref
 from flash_viterbi_tpu.utils.io import save_dataset
 
-from .ref_compile import build_and_run, have_gcc, have_glib
+from .ref_compile import build_and_run, build_and_run_full, have_gcc, have_glib
 
 pytestmark = pytest.mark.skipif(not have_gcc(), reason="gcc not available")
 
@@ -47,6 +47,26 @@ def test_flash_bit_parity(fixture_dir, tmp_path, threads):
     want = build_and_run("flash", str(tmp_path), K, M, T, PROB, d, threads=threads)
     got = oref.flash(hmm.A, hmm.B, hmm.Pi, y, threads=threads, numerics="c")
     np.testing.assert_array_equal(got, want)
+
+
+def test_memory_accounting_matches_c(fixture_dir, tmp_path):
+    """The analytic ``memory:`` figures must equal what the reference C
+    binaries print — including FLASH's sizeof-of-expression bug (+8) and
+    checkpoint's full snapshot-matrix accounting."""
+    import flash_viterbi_tpu as fvt
+
+    d, hmm, y = fixture_dir
+    for name, alg, kw, ckw in [
+        ("vanilla", "vanilla", {}, {}),
+        ("checkpoint", "checkpoint", {}, {}),
+        ("flash", "flash", {"num_segments": 6}, {"threads": 6}),
+        ("flash", "flash", {"num_segments": 2}, {"threads": 2}),
+        ("flash_bs", "flash_bs", {"num_segments": 6, "beam_width": 16},
+         {"threads": 6, "beam": 16}),
+    ]:
+        _, want = build_and_run_full(name, str(tmp_path), K, M, T, PROB, d, **ckw)
+        r = fvt.decode(hmm, y, algorithm=alg, warmup=False, **kw)
+        assert r.memory_bytes == want, (name, ckw)
 
 
 @pytest.mark.parametrize("threads,beam", [(1, 16), (4, 16), (4, 32)])
