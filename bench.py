@@ -78,7 +78,11 @@ def main() -> None:
         return float(np.median(ts))
 
     t1, t2 = run(K1), run(K2)
-    wall = max((t2 - t1) / (K2 - K1), 1e-9)
+    wall = (t2 - t1) / (K2 - K1)
+    if wall <= 0.2 * t2 / K2:
+        # marginal signal drowned in dispatch noise (tiny smoke problems):
+        # fall back to the amortized chain time, a conservative upper bound
+        wall = t2 / K2
 
     want = oracle.vanilla(hmm.A, hmm.B, hmm.Pi, y)
     parity = bool((path[:T] == want).all())
