@@ -39,7 +39,7 @@ def main() -> None:
 
     from flash_viterbi_tpu import make_sparse_hmm
     from flash_viterbi_tpu.algorithms.flash import flash_decode
-    from flash_viterbi_tpu.oracle import framework as oracle
+    from flash_viterbi_tpu.oracle import native as oracle
 
     dev = jax.devices()[0]
     on_tpu = jax.default_backend() == "tpu"

@@ -119,3 +119,61 @@ int fv_save_floats(const char *path, const double *data, long rows,
     free(iobuf);
     return rc;
 }
+
+/* ------------------------------------------------------------------ */
+/* Native vanilla Viterbi oracle under the framework numerics contract:
+ *
+ *     inner[k]  = fl32(delta[k] + logA[k*K + i])
+ *     delta'[i] = fl32(max_k inner[k] + logB[i*M + y_t])
+ *     ptr[i]    = lowest k attaining the max
+ *
+ * Bit-identical to oracle.framework.vanilla / the JAX decoders, but ~2
+ * orders of magnitude faster than the numpy mirror at large K — used to
+ * parity-check big-K decodes in seconds (see oracle/native.py).  This is
+ * an original implementation of the textbook algorithm (cf. the
+ * reference's `Base_line/C implementations/vanilla Viterbi.c:125-173`
+ * for the capability it mirrors), not a copy: different numerics
+ * (precomputed fp32 log tables, emission added after the max) and
+ * different layout (flat row-major buffers, caller-owned memory).
+ */
+
+void fv_viterbi_f32(const float *logA, const float *logB, const float *logPi,
+                    const int *y, int K, int M, int T,
+                    int *path, int *ptr_scratch /* K*T ints */) {
+    float *delta = (float *)malloc((size_t)K * sizeof(float));
+    float *next = (float *)malloc((size_t)K * sizeof(float));
+    if (!delta || !next) { free(delta); free(next); return; }
+
+    for (int i = 0; i < K; ++i)
+        delta[i] = logPi[i] + logB[(size_t)i * M + y[0]];
+
+    for (int t = 1; t < T; ++t) {
+        int *ptr_row = ptr_scratch + (size_t)t * K;
+        /* source-major sweep streams logA rows (cache/SIMD friendly);
+         * ascending k with strict '>' keeps the lowest-index argmax —
+         * identical results to a per-destination scan */
+        for (int i = 0; i < K; ++i) { next[i] = -INFINITY; ptr_row[i] = 0; }
+        for (int k = 0; k < K; ++k) {
+            const float dk = delta[k];
+            const float *row = logA + (size_t)k * K;
+            for (int i = 0; i < K; ++i) {
+                float cand = dk + row[i];
+                if (cand > next[i]) { next[i] = cand; ptr_row[i] = k; }
+            }
+        }
+        for (int i = 0; i < K; ++i)
+            next[i] = next[i] + logB[(size_t)i * M + y[t]];
+        float *tmp = delta; delta = next; next = tmp;
+    }
+
+    int best_i = 0;
+    float best = delta[0];
+    for (int i = 1; i < K; ++i)
+        if (delta[i] > best) { best = delta[i]; best_i = i; }
+    path[T - 1] = best_i;
+    for (int t = T - 1; t > 0; --t)
+        path[t - 1] = ptr_scratch[(size_t)t * K + path[t]];
+
+    free(delta);
+    free(next);
+}

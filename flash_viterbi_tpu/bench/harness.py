@@ -79,7 +79,7 @@ def run_one(cfg: RunConfig) -> dict:
 
     from .. import build
     from ..models.generate import make_dag_hmm, make_sparse_hmm
-    from ..oracle import framework as oracle
+    from ..oracle import native as oracle
     from ..utils.io import load_dataset
 
     if cfg.data_path:

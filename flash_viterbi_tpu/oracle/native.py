@@ -1,0 +1,60 @@
+"""Native C oracle — the framework numerics contract at C speed.
+
+``vanilla(...)`` is bit-identical to ``oracle.framework.vanilla`` (same
+fp32 op order and tie-breaking; verified in tests) but runs the K²T
+recursion in compiled C (`csrc/fastio.c:fv_viterbi_f32`) — parity checks
+at K=8192 drop from ~5 minutes of numpy to a few seconds.  Falls back to
+the numpy mirror when the native library is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..models.hmm import HMM, LogHMM
+from ..runtime.native import get_lib
+from . import framework as _fw
+
+F32 = np.float32
+
+
+def available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "fv_viterbi_f32")
+
+
+def vanilla(A, B, Pi, y) -> np.ndarray:
+    """Decode under the framework numerics contract (lowest-index ties)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fv_viterbi_f32"):
+        return _fw.vanilla(A, B, Pi, y)
+
+    lh = HMM(A=np.asarray(A, dtype=np.float64),
+             B=np.asarray(B, dtype=np.float64),
+             Pi=np.asarray(Pi, dtype=np.float64)).log()
+    logA = np.ascontiguousarray(lh.logA, dtype=F32)
+    logB = np.ascontiguousarray(lh.logB, dtype=F32)
+    logPi = np.ascontiguousarray(lh.logPi, dtype=F32)
+    yv = np.ascontiguousarray(np.asarray(y, dtype=np.int32))
+    K, M = logB.shape
+    T = len(yv)
+
+    path = np.empty(T, dtype=np.int32)
+    scratch = np.empty((T, K), dtype=np.int32)
+
+    lib.fv_viterbi_f32.restype = None
+    lib.fv_viterbi_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.fv_viterbi_f32(
+        logA.ctypes.data_as(fp), logB.ctypes.data_as(fp),
+        logPi.ctypes.data_as(fp), yv.ctypes.data_as(ip),
+        K, M, T, path.ctypes.data_as(ip), scratch.ctypes.data_as(ip))
+    return path.astype(np.int64)

@@ -75,3 +75,19 @@ def test_dag_generator(tmp_path):
     assert np.isfinite(hmm_s.A).all()
     rs = hmm_s.A.sum(axis=1)
     assert ((np.abs(rs - 1) < 1e-9) | (rs == 0)).all()
+
+
+def test_native_oracle_matches_numpy_mirror():
+    """The C fast oracle must be bit-identical to the numpy framework
+    mirror (same fp32 contract, same lowest-index ties)."""
+    import numpy as np
+
+    from flash_viterbi_tpu.models.generate import make_sparse_hmm
+    from flash_viterbi_tpu.oracle import framework as ofw
+    from flash_viterbi_tpu.oracle import native as onat
+
+    for (K, M, T, prob, seed) in [(64, 12, 32, 0.3, 7), (33, 4, 26, 0.5, 106)]:
+        hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+        a = ofw.vanilla(hmm.A, hmm.B, hmm.Pi, y)
+        b = onat.vanilla(hmm.A, hmm.B, hmm.Pi, y)
+        np.testing.assert_array_equal(a, b)
