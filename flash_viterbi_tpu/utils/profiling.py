@@ -54,6 +54,79 @@ class PhaseTimer:
         return json.dumps(self.report(**kw))
 
 
+def profile_flash(hmm, y, num_segments: int = 8, pad_to: int = 128,
+                  reps: int = 3) -> dict:
+    """Per-phase wall times for a FLASH decode (SURVEY.md §5: phase-1
+    pass, segment decode, backtrack-and-assemble), measured with the
+    chained-marginal method so the tunnel's async dispatch cannot lie.
+
+    Phases are re-run as standalone jitted programs; their sum slightly
+    exceeds the fused end-to-end decode (which overlaps them).
+    """
+    import time as _time
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..algorithms import flash as F
+    from ..models.hmm import HMM, LogHMM
+
+    lh = hmm if isinstance(hmm, LogHMM) else hmm.log()
+    K_logical = lh.K
+    lh = lh.padded(pad_to)
+    T = int(len(y))
+    logA = jnp.asarray(lh.logA)
+    logB = jnp.asarray(lh.logB)
+    logPi0 = jnp.asarray(lh.logPi)
+    yd = jnp.asarray(np.asarray(y), jnp.int32)
+    mids = F.flash_midpoints(0, T - 1, num_segments) if num_segments > 1 else []
+
+    def marginal(fn, k1=1, k2=3):
+        @partial(jax.jit, static_argnames="k")
+        def chain(logA, logB, logPi, yd, k):
+            out = None
+            for _ in range(k):
+                out = fn(logA, logB, logPi, yd)
+                logPi = logPi + out.reshape(-1)[0].astype(jnp.float32) * jnp.float32(1e-30)
+            return out
+
+        int(np.asarray(chain(logA, logB, logPi0, yd, k=k1)).ravel()[0])
+        int(np.asarray(chain(logA, logB, logPi0, yd, k=k2)).ravel()[0])
+
+        def run(k):
+            ts = []
+            for i in range(reps):
+                a = logPi0 + jnp.float32(i) * jnp.float32(1e-30)
+                t0 = _time.perf_counter()
+                int(np.asarray(chain(logA, logB, a, yd, k=k)).ravel()[0])
+                ts.append(_time.perf_counter() - t0)
+            return float(np.median(ts))
+
+        return max((run(k2) - run(k1)) / (k2 - k1), 0.0)
+
+    def phase1(logA, logB, logPi, yd):
+        emits = logB[:, yd].T
+        last, anchors = F.phase1_anchors_pallas(logA, logPi, emits, mids) \
+            if jax.default_backend() == "tpu" else \
+            F.phase1_anchors(logA, logPi, emits, mids)
+        return jnp.concatenate([anchors, last[None]]).astype(jnp.float32)
+
+    def full(logA, logB, logPi, yd):
+        return F.flash_decode(logA, logB, logPi, yd, num_segments=num_segments)
+
+    t_phase1 = marginal(phase1)
+    t_full = marginal(full)
+    return {
+        "phase1_s": t_phase1,
+        "phase2_and_backtrack_s": max(t_full - t_phase1, 0.0),
+        "total_s": t_full,
+        "trellis_updates_per_s": K_logical * K_logical * T / t_full
+        if t_full > 0 else float("inf"),
+        "num_segments": num_segments,
+    }
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str):
     """jax.profiler trace bracket (view in tensorboard/perfetto)."""

@@ -41,3 +41,13 @@ def test_phase_timer_and_memory_report():
     assert t.json(K=10, T=5).startswith("{")
     mem = memory_report()
     assert mem["live_array_bytes"] >= 0
+
+
+def test_profile_flash_phases(small_problem):
+    from flash_viterbi_tpu.utils.profiling import profile_flash
+
+    hmm, y = small_problem
+    rep = profile_flash(hmm, y, num_segments=4, pad_to=1, reps=2)
+    assert set(rep) >= {"phase1_s", "phase2_and_backtrack_s", "total_s",
+                        "trellis_updates_per_s"}
+    assert rep["total_s"] >= 0 and rep["phase1_s"] >= 0
