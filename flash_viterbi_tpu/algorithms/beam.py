@@ -16,7 +16,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops import maxplus as mp
 from .base import Decoder, register
 from .flash_bs import beam_step, beam_topk
 

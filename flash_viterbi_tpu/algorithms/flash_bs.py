@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import maxplus as mp
 from .base import Decoder, register
 from .flash import flash_midpoints
 

@@ -41,7 +41,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import maxplus as mp
 from ..ops.pallas.maxplus import maxplus_scan
 from .base import Decoder, register
 from .flash import _pallas_interpret

@@ -7,8 +7,6 @@ Framework numerics contract (see ``ops.maxplus``).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..ops import maxplus as mp
 from .base import Decoder, register
 

@@ -84,8 +84,6 @@ def cmd_compare(args) -> int:
     (the reference's summary format, Baseline.py:67-68,91-105)."""
     import time as _time
 
-    import numpy as np
-
     from . import decode
     from .models.generate import make_sparse_hmm
     from .oracle.sieve import sieve_mp

@@ -19,8 +19,6 @@ index on ties, matching the reference's strict-``>`` scan (SURVEY.md §3.6).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 
 NEG = np.float32(-3.4028235e38)  # -FLT_MAX, the reference's ElementTypeNegMin

@@ -23,8 +23,6 @@ kernels with identical semantics, selected by the dispatch in
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

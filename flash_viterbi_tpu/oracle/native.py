@@ -13,7 +13,7 @@ import ctypes
 
 import numpy as np
 
-from ..models.hmm import HMM, LogHMM
+from ..models.hmm import HMM
 from ..runtime.native import get_lib
 from . import framework as _fw
 

@@ -81,7 +81,6 @@ def measure_virtual(mesh_shapes, K: int = 64, M: int = 8, T: int = 64,
     (shape, wall_s, paths_equal).  Wall times on the CPU backend are only
     relative sanity — the point is that the exact multi-chip program
     compiles, runs, and agrees bit-for-bit across shardings."""
-    import jax
     import jax.numpy as jnp
 
     from ..models.generate import make_sparse_hmm

@@ -70,7 +70,7 @@ def profile_flash(hmm, y, num_segments: int = 8, pad_to: int = 128,
     import jax.numpy as jnp
 
     from ..algorithms import flash as F
-    from ..models.hmm import HMM, LogHMM
+    from ..models.hmm import LogHMM
 
     lh = hmm if isinstance(hmm, LogHMM) else hmm.log()
     K_logical = lh.K
