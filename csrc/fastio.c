@@ -137,12 +137,14 @@ int fv_save_floats(const char *path, const double *data, long rows,
  * different layout (flat row-major buffers, caller-owned memory).
  */
 
-void fv_viterbi_f32(const float *logA, const float *logB, const float *logPi,
-                    const int *y, int K, int M, int T,
-                    int *path, int *ptr_scratch /* K*T ints */) {
+/* Returns 0 on success, -1 on allocation failure (the caller must not
+ * read `path` on failure — oracle/native.py raises / falls back). */
+int fv_viterbi_f32(const float *logA, const float *logB, const float *logPi,
+                   const int *y, int K, int M, int T,
+                   int *path, int *ptr_scratch /* K*T ints */) {
     float *delta = (float *)malloc((size_t)K * sizeof(float));
     float *next = (float *)malloc((size_t)K * sizeof(float));
-    if (!delta || !next) { free(delta); free(next); return; }
+    if (!delta || !next) { free(delta); free(next); return -1; }
 
     for (int i = 0; i < K; ++i)
         delta[i] = logPi[i] + logB[(size_t)i * M + y[0]];
@@ -176,4 +178,5 @@ void fv_viterbi_f32(const float *logA, const float *logB, const float *logPi,
 
     free(delta);
     free(next);
+    return 0;
 }

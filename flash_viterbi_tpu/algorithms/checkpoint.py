@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..ops import maxplus as mp
 from ..ops.pallas.maxplus import (
     emitgather_supported,
+    kernel_supported,
     maxplus_scan,
     maxplus_scan_emitgather,
 )
@@ -175,8 +176,8 @@ def _build(step: int = 0, use_pallas: bool | str = "auto", **static) -> Decoder:
         up = use_pallas
         if up == "auto":
             up = jax.default_backend() == "tpu"
-        if up and logA.shape[0] % 8:
-            up = False  # kernel needs lane-aligned K; fall back cleanly
+        if up and not kernel_supported(logA.shape[0]):
+            up = False  # K not tileable by the kernel; fall back cleanly
         if up:
             return checkpoint_decode_pallas(logA, logB, logPi, y, step=step)
         return checkpoint_decode(logA, logB, logPi, y, step=step)

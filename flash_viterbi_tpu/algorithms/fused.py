@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import maxplus as mp
-from ..ops.pallas.maxplus import forward_scan_pallas, maxplus_scan
+from ..ops.pallas.maxplus import (forward_scan_pallas, kernel_supported,
+                                  maxplus_scan)
 from .base import Decoder, register
 
 
@@ -40,8 +41,8 @@ def fused_decode(logA, logB, logPi, y, use_pallas: bool | str = "auto",
         logA = logA.astype(jnp.bfloat16)
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and logA.shape[0] % 8:
-        use_pallas = False  # kernel needs lane-aligned K; fall back cleanly
+    if use_pallas and not kernel_supported(logA.shape[0]):
+        use_pallas = False  # K not tileable by the kernel; fall back cleanly
     if use_pallas:
         interpret = jax.default_backend() != "tpu"
         dfin, ptrs = forward_scan_pallas(delta0, logA, emits[1:],
@@ -69,7 +70,7 @@ def fused_decode_batch(logA, logB, logPi, ys, use_pallas: bool | str = "auto",
     delta0 = logPi[None, :] + emits[0]
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and logA.shape[0] % 8:
+    if use_pallas and not kernel_supported(logA.shape[0]):
         use_pallas = False
     if use_pallas:
         interpret = jax.default_backend() != "tpu"

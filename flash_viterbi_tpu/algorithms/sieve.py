@@ -41,7 +41,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas.maxplus import maxplus_scan
+from ..ops.pallas.maxplus import kernel_supported, maxplus_scan
 from .base import Decoder, register
 from .flash import _pallas_interpret
 
@@ -179,8 +179,8 @@ def sieve_mp_decode(logA, logB, logPi, y, A_posF,
         return jnp.argmax(d0).astype(jnp.int32)[None]
     if use_pallas == "auto":
         use_pallas = True
-    if use_pallas and K % 8:
-        use_pallas = False  # kernel needs lane-aligned K; fall back cleanly
+    if use_pallas and not kernel_supported(K):
+        use_pallas = False  # K not tileable by the kernel; fall back cleanly
     interp = _pallas_interpret()
     emits = logB[:, y].T  # (T, K)
     nodes = build_tree(T)
@@ -210,9 +210,14 @@ def sieve_mp_decode(logA, logB, logPi, y, A_posF,
             pen = jnp.where(mask > 0, 0.0, NEG)  # (S, K)
             seg_emits = seg_emits + pen[:, None, :]
 
-            # subset-uniform prior for unforced segments (reference :303-307)
+            # subset-uniform prior for unforced segments (reference :303-307).
+            # The oracle computes log(1/ksub) in float64 then truncates; a
+            # traced f32 log can differ by 1 ulp and flip exact argmax ties,
+            # so use a host-side f64->f32 table indexed by subset size.
+            unif_tab = jnp.asarray(
+                np.log(1.0 / np.arange(1, K + 1, dtype=np.float64)).astype(np.float32))
             ksub = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
-            log_unif = jnp.log(1.0 / ksub).astype(jnp.float32)
+            log_unif = unif_tab[ksub.astype(jnp.int32) - 1]
             root_pi = logPi[None, :] if depth == 0 else log_unif[:, None]
             forced0 = jnp.where(iotaK[None, :] == init[:, None], 0.0, NEG)
             d0 = jnp.where((init >= 0)[:, None], forced0, root_pi) + seg_emits[:, 0]

@@ -141,7 +141,9 @@ def run_one(cfg: RunConfig) -> dict:
         "MAX_THREADS": cfg.num_segments,
         "BeamSearchWidth": cfg.beam_width or "",
         "time": wall,
-        "memory": dec.analytic_memory(K=lh.Kp, T=cfg.T),
+        # logical K, not the padded lh.Kp: the figure must match the C
+        # binaries' reference-exact accounting (e.g. K=3965, not 4096)
+        "memory": dec.analytic_memory(K=cfg.K, T=cfg.T),
         "algorithm": cfg.algorithm,
         "device": str(jax.devices()[0]),
         "updates_per_s": cfg.K * cfg.K * cfg.T / wall,

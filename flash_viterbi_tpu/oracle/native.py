@@ -44,7 +44,7 @@ def vanilla(A, B, Pi, y) -> np.ndarray:
     path = np.empty(T, dtype=np.int32)
     scratch = np.empty((T, K), dtype=np.int32)
 
-    lib.fv_viterbi_f32.restype = None
+    lib.fv_viterbi_f32.restype = ctypes.c_int
     lib.fv_viterbi_f32.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
@@ -53,8 +53,12 @@ def vanilla(A, B, Pi, y) -> np.ndarray:
     ]
     fp = ctypes.POINTER(ctypes.c_float)
     ip = ctypes.POINTER(ctypes.c_int)
-    lib.fv_viterbi_f32(
+    rc = lib.fv_viterbi_f32(
         logA.ctypes.data_as(fp), logB.ctypes.data_as(fp),
         logPi.ctypes.data_as(fp), yv.ctypes.data_as(ip),
         K, M, T, path.ctypes.data_as(ip), scratch.ctypes.data_as(ip))
+    if rc != 0:
+        # allocation failure inside the native kernel: the path buffer is
+        # uninitialized — never return it; use the numpy mirror instead
+        return _fw.vanilla(A, B, Pi, y)
     return path.astype(np.int64)

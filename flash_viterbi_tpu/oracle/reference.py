@@ -68,6 +68,8 @@ class Tables:
         self.logA32 = self.logA64.astype(F32)
         self.logB32 = self.logB64.astype(F32)
         self.logPi32 = self.logPi64.astype(F32)
+        self.Pi = Pi  # probability-domain Pi (post-quantize) for callers
+        # that re-log per access like the C (e.g. SIEVE-Mp's root Pi)
         self.y = np.asarray(y, dtype=np.int64)
         self.K = A.shape[0]
         self.M = B.shape[1]

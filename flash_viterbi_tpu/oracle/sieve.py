@@ -105,10 +105,16 @@ def sieve_mp(A, B, Pi, y, numerics: str = "c") -> np.ndarray:
     # cannot turn a positive prob into 0 or vice versa)
     st = _MpState(T)
 
-    def recurse(indices: np.ndarray, y_seg: np.ndarray, last: int):
+    def recurse(indices: np.ndarray, y_seg: np.ndarray, last: int,
+                is_root: bool = False):
         K = len(indices)
         if st.initial_state > -1:
             Pi_seg = (indices == st.initial_state).astype(F32)
+        elif is_root:
+            # top-level call receives the model Pi with isPiNone=0
+            # (SIEVE-Mp.c:499 passes vit->Pi); only unforced *descendants*
+            # fall through to the uniform prior (isPiNone=1, :300-307)
+            Pi_seg = np.asarray(tb.Pi, dtype=F32)[indices]
         else:
             Pi_seg = np.full(K, np.float32(1.0) / K, dtype=F32)
 
@@ -141,7 +147,7 @@ def sieve_mp(A, B, Pi, y, numerics: str = "c") -> np.ndarray:
             st.initial_state = x_b
             recurse(right_idx, y_seg[-N_right:], -1)
 
-    recurse(np.arange(tb.K, dtype=np.int64), y_arr, -1)
+    recurse(np.arange(tb.K, dtype=np.int64), y_arr, -1, is_root=True)
 
     # change_mp_path [SIEVE-Mp.c:466-489]
     mp = st.mp_path

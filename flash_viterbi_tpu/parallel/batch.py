@@ -92,7 +92,7 @@ def decode_batch(
     return DecodeResult(
         path=out,
         time_s=t1 - t0,
-        memory_bytes=Bs * dec.analytic_memory(K=lh.Kp, T=T),
+        memory_bytes=Bs * dec.analytic_memory(K=K, T=T),  # logical K (reference-exact)
         algorithm=f"batched:{mem_algorithm}",
         extra={"batch": Bs, "K": K, "K_padded": lh.Kp, "T": T,
                "mesh": None if mesh is None else dict(zip(mesh.axis_names,

@@ -44,7 +44,10 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        so = _SO if os.path.exists(_SO) else _build()
+        src = os.path.join(_CSRC, "fastio.c")
+        stale = (os.path.exists(_SO) and os.path.exists(src)
+                 and os.path.getmtime(_SO) < os.path.getmtime(src))
+        so = _SO if os.path.exists(_SO) and not stale else _build()
         if so is None:
             return None
         try:

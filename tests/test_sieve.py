@@ -50,6 +50,26 @@ def test_sieve_mp_c_bit_parity(tmp_path, K, M, T, prob, seed):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.skipif(not have_gcc(), reason="gcc not available")
+def test_sieve_mp_c_bit_parity_nonuniform_pi(tmp_path):
+    """The C top-level call passes the model Pi (SIEVE-Mp.c:499,
+    isPiNone=0); the generators always emit uniform Pi, so this fixture
+    perturbs it to pin the root-Pi handling."""
+    import dataclasses
+
+    K, M, T, prob, seed = 48, 8, 32, 0.3, 5
+    hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+    rng = np.random.RandomState(99)
+    Pi = rng.uniform(0.05, 1.0, K)
+    hmm = dataclasses.replace(hmm, Pi=Pi / Pi.sum())
+    d = tmp_path / "data"; d.mkdir()
+    w = tmp_path / "work"; w.mkdir()
+    save_dataset(str(d), hmm, y, prob=prob)
+    want = build_and_run("sieve_mp", str(w), K, M, T, prob, str(d))
+    got = sieve_mp(hmm.A, hmm.B, hmm.Pi, y, numerics="c")
+    np.testing.assert_array_equal(got, want)
+
+
 def test_sieve_mp_close_to_vanilla(small_problem):
     """SIEVE-Mp paths may differ from vanilla only where the reference's
     right-child re-argmax quirk bites (right recursions pass last=-1,

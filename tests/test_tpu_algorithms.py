@@ -38,6 +38,23 @@ def test_sieve_mp_unpruned_matches_on_dense(small_problem):
     np.testing.assert_array_equal(a.path, b.path)
 
 
+def test_sieve_mp_nonuniform_pi_matches_oracle():
+    """Root call must use the model Pi, not the uniform prior (the oracle
+    mirrors SIEVE-Mp.c:499's isPiNone=0 top-level call)."""
+    import dataclasses
+
+    from flash_viterbi_tpu.models.generate import make_sparse_hmm
+
+    hmm, y = make_sparse_hmm(K=48, M=8, T=32, prob=0.3, seed=5)
+    rng = np.random.RandomState(99)
+    Pi = rng.uniform(0.05, 1.0, hmm.K)
+    hmm = dataclasses.replace(hmm, Pi=Pi / Pi.sum())
+    want = sieve_mp(hmm.A, hmm.B, hmm.Pi, y, numerics="f32")
+    r = decode(hmm, y, algorithm="sieve_mp", pad_to=1, warmup=False,
+               use_pallas=False)
+    np.testing.assert_array_equal(r.path, want)
+
+
 @pytest.mark.parametrize("T", [17, 32, 33])
 def test_sieve_mp_odd_lengths(T):
     from flash_viterbi_tpu.models.generate import make_sparse_hmm
