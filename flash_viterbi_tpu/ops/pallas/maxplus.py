@@ -38,6 +38,22 @@ NEG_INF = jnp.float32(-jnp.inf)
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
+def kernel_supported(K: int) -> bool:
+    """True iff :func:`_pick_tiles` can tile this state count — the real
+    constraint every decoder's use_pallas guard must match: K <= 128 needs
+    only sublane alignment (K % 8); above that the source tile is a lane
+    slice of the carry, so K must be a multiple of 128."""
+    if K % 8:
+        return False
+    if K > 128 and K % 128:
+        return False
+    try:
+        _pick_tiles(K)
+    except ValueError:
+        return False
+    return True
+
+
 def _pick_tiles(K: int) -> tuple[int, int]:
     """(BK, BI): source-tile rows and dest-tile lanes.
 
@@ -374,6 +390,125 @@ def maxplus_scan_emitgather(logA: jax.Array, logBT: jax.Array, ys: jax.Array,
         interpret=interpret,
     )(ys, delta0, logA, logBT)
     return dfin, ptrs
+
+
+# ---------------------------------------------------------------------------
+# Rectangular single-step kernel: one max-plus matvec against a COLUMN SHARD
+# of logA (the state-sharded trellis step of parallel.sharded).  delta is the
+# full-K carry (replicated over the 'state' mesh axis); the block computes
+# the local K_d-slice of the destination scores + global-index argmax
+# witnesses; the caller adds the emission slice and all_gathers.  Tie-break:
+# source tiles ascend and combine with strict '>', so the witness is the
+# globally lowest source index — same contract as the fused scan kernel.
+# ---------------------------------------------------------------------------
+
+def _step_tiles_kernel(delta_ref, logA_ref, val_ref, ptr_ref,
+                       accv_ref, acca_ref, *, N: int, BK: int, BI: int,
+                       Ks: int):
+    kt = pl.program_id(1)
+    KT = pl.num_programs(1)
+    tile = logA_ref[:]  # (BK, BI)
+    d_col = jnp.transpose(delta_ref[:, pl.ds(kt * BK, BK)])  # (BK, N)
+    src_idx = jax.lax.broadcasted_iota(jnp.int32, (BK, BI), 0) + kt * BK
+
+    for n in range(N):
+        tmp = d_col[:, n:n + 1] + tile
+        val = jnp.max(tmp, axis=0, keepdims=True)
+        loc = jnp.min(jnp.where(tmp == val, src_idx, Ks + kt * BK),
+                      axis=0, keepdims=True)
+
+        @pl.when(kt == 0)
+        def _():
+            accv_ref[n:n + 1, :] = val
+            acca_ref[n:n + 1, :] = loc
+
+        @pl.when(kt > 0)
+        def _():
+            prev = accv_ref[n:n + 1, :]
+            better = val > prev  # strict: earlier (lower-k) tile wins ties
+            acca_ref[n:n + 1, :] = jnp.where(better, loc, acca_ref[n:n + 1, :])
+            accv_ref[n:n + 1, :] = jnp.where(better, val, prev)
+
+    @pl.when(kt == KT - 1)
+    def _():
+        val_ref[:] = accv_ref[:]
+        ptr_ref[:] = acca_ref[:]
+
+
+def _pick_tiles_rect(Ks: int, Kd: int) -> tuple[int, int]:
+    """(BK, BI) for a (Ks, Kd) block: BK over source rows (128-aligned lane
+    slices of the carry), BI over dest lanes."""
+    for d in (Ks, Kd):
+        if d % 8 or (d % 128 and d > 128):
+            raise ValueError(f"dim {d} not tileable (pad the model first)")
+    for bk in (512, 256, 128):
+        if Ks % bk == 0 and 2 * bk * Kd * 4 <= _VMEM_BUDGET:
+            return bk, Kd
+    if Ks <= 128:
+        return Ks, Kd
+    BK, BI = 128, Kd
+    while 2 * BK * BI * 4 > _VMEM_BUDGET:
+        BI //= 2
+    if BI < 128 or Kd % BI:
+        raise ValueError(f"cannot tile ({Ks},{Kd}) into VMEM")
+    return BK, BI
+
+
+def step_block_supported(Ks: int, Kd: int) -> bool:
+    try:
+        _pick_tiles_rect(Ks, Kd)
+    except ValueError:
+        return False
+    return True
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def maxplus_step_block(delta: jax.Array, logA_block: jax.Array,
+                       interpret: bool = False):
+    """One trellis step against a column shard of logA.
+
+    Args:
+      delta:      (N, Ks) fp32 full-source carry.
+      logA_block: (Ks, Kd) fp32 — a column slice logA[:, lo:lo+Kd].
+
+    Returns:
+      (val (N, Kd) fp32 pre-emission scores,
+       ptr (N, Kd) int32 global source indices).
+    """
+    N, Ks = delta.shape
+    Kd = logA_block.shape[1]
+    assert logA_block.shape[0] == Ks
+    BK, BI = _pick_tiles_rect(Ks, Kd)
+    KT = Ks // BK
+    IT = Kd // BI
+    kernel = functools.partial(_step_tiles_kernel, N=N, BK=BK, BI=BI, Ks=Ks)
+    val, ptr = pl.pallas_call(
+        kernel,
+        grid=(IT, KT),
+        in_specs=[
+            pl.BlockSpec((N, Ks), lambda it, kt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, BI), lambda it, kt: (kt, it), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, BI), lambda it, kt: (0, it), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, BI), lambda it, kt: (0, it), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Kd), jnp.float32),
+            jax.ShapeDtypeStruct((N, Kd), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, BI), jnp.float32),
+            pltpu.VMEM((N, BI), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * Ks * Kd,
+            bytes_accessed=Ks * Kd * 4 + N * (Ks + 2 * Kd) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(delta, logA_block)
+    return val, ptr
 
 
 def emitgather_supported(K: int, M: int) -> bool:

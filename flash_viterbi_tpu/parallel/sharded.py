@@ -7,22 +7,49 @@ mesh axes carry all the parallelism, with XLA collectives over ICI:
 
 * ``data``  — batch of independent sequences (the reference decodes one
   sequence per process; batching is free on TPU).
-* ``seq``   — FLASH's sequence parallelism: phase-2 segments are divided
-  statically among the ``seq`` devices; each decodes its forced-boundary
-  segments locally and the path is combined with one ``psum`` scatter.
+* ``seq``   — FLASH's sequence parallelism.  Unlike the reference (whose
+  phase 1, ``nvviterNdivide`` :126-202, is single-threaded), BOTH phases
+  split over the ``seq`` axis here:
+
+  - **phase 1 is a software pipeline over equal time blocks**: seq device
+    r owns block r = times ``[r*L, (r+1)*L)`` (and that block's share of
+    the forward work and of the emission stream); microbatches of
+    sequences flow through the blocks GPipe-style, the (mb, K) δ-carry
+    hopping devices via ``ppermute`` once per block — O(K) bytes per hop
+    against L*K²/n_state compute.  With a batch of n_mb microbatches the
+    pipeline is busy n_mb/(n_mb + n_seq - 1) of the time; phase-1 work
+    per device is T*K²/(n_seq*n_state) — every axis divides all the work.
+  - **anchors resolve hierarchically**: each block keeps its own
+    boundary plane (state at its entry time, per block-end state) and
+    spd-1 interior segment planes — plane propagation is pointer
+    composition, which is associative, so evaluating block planes at the
+    chain of block-end states reproduces the serial multi-anchor pass
+    bit-exactly.  The backward chain over blocks is n_seq tiny gathers.
+  - phase 2 decodes each block's segments locally (forced-boundary
+    pointer decode, the same contract as ``algorithms.flash``).
+
 * ``state`` — tensor parallelism over the state dimension, needed once
   ``log A`` outgrows one chip (K=16384 → 1 GiB fp32): each device holds a
-  column block ``logA[:, shard]`` and the matching row block of ``logB``,
-  computes its slice of every max-plus matvec, and the K-vector carries
-  (scores + argmax pointers) are rebuilt with a tiled ``all_gather`` —
-  O(K) bytes per trellis step on ICI, negligible against the K²/s compute.
+  column block ``logA[:, shard]`` and computes its slice of every max-plus
+  matvec with the rectangular Pallas step kernel
+  (``ops.pallas.maxplus_step_block``); the K-carries are rebuilt with a
+  tiled ``all_gather`` — O(K) bytes per trellis step on ICI, negligible
+  against the K²/s compute.
+
+On a (1,1,1) mesh the pipelined path degenerates to chunked fused-kernel
+scans — single-chip kernel throughput with no sharding overhead — which is
+what makes the K=16384 x T=65536 (config-5) shape runnable end to end on
+one chip (pointer tables stay O(T*K/N) per segment and emissions are
+gathered from the VMEM-resident (M, K) table, never materialized).
 
 Pipeline/expert parallelism have no analog here (no layered model, no
 experts — SURVEY.md §2.6 rows 4-5).
 
-The decode itself is the same two-phase anchored scheme as
-``algorithms.flash`` (phase-1 multi-anchor pass, phase-2 per-segment
-pointer decode), so paths are bit-identical to the single-chip decoder.
+Paths are bit-identical to ``algorithms.flash``/``algorithms.vanilla``
+(same strict-'>' lowest-index argmax contract everywhere).  A legacy
+non-pipelined path (`pipeline=False`, also the automatic fallback when T
+does not divide evenly) keeps the original replicated-phase-1 scheme for
+arbitrary shapes.
 """
 
 from __future__ import annotations
@@ -37,8 +64,16 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..algorithms.flash import flash_midpoints
 from ..ops import maxplus as mp
+from ..ops.pallas.maxplus import (
+    kernel_supported,
+    maxplus_scan,
+    maxplus_step_block,
+    step_block_supported,
+)
 
 AXES = ("data", "seq", "state")
+
+_CHUNK = 512  # time-chunk for fused-kernel calls (bounds live emissions)
 
 
 def make_mesh(n_data: int = 1, n_seq: int = 1, n_state: int = 1, devices=None) -> Mesh:
@@ -70,9 +105,220 @@ def mesh_shape_for(n_devices: int) -> tuple[int, int, int]:
     return tuple(dims)
 
 
-# ---------------------------------------------------------------------------
-# State-sharded max-plus primitives (inside shard_map)
-# ---------------------------------------------------------------------------
+# ===========================================================================
+# Pipelined path: equal time blocks, GPipe-style microbatch flow
+# ===========================================================================
+
+def _pipeline_plan(T: int, n_seq: int, num_segments: int | None):
+    """(L, spd, Lseg) for the pipelined path, or None if the shape doesn't
+    divide evenly (the legacy path handles those)."""
+    if T % n_seq:
+        return None
+    L = T // n_seq
+    if num_segments is None:
+        for spd in (4, 2, 1):
+            if L % spd == 0 and L // spd >= 2:
+                return L, spd, L // spd
+        return None
+    N = int(num_segments)
+    if N % n_seq:
+        return None
+    spd = N // n_seq
+    if spd < 1 or L % spd or L // spd < 2:
+        return None
+    return L, spd, L // spd
+
+
+def _flash_decode_pipelined(mesh, logA, logBT, logPi, ys, L: int, spd: int,
+                            Lseg: int, mb: int, use_kernel: bool,
+                            interpret: bool):
+    n_data, n_seq, n_state = (mesh.shape[a] for a in AXES)
+    Bs, T = ys.shape
+    K = logA.shape[0]
+    Bd = Bs // n_data
+    if Bd % mb:
+        raise ValueError(f"per-data-shard batch {Bd} must divide microbatch {mb}")
+    n_mb = Bd // mb
+    ticks = n_mb + n_seq - 1
+
+    # plane record schedule for block steps i = 1..L-1 (ptr row i-1):
+    # plane 0 (β, block-entry boundary) is recorded at the boundary step and
+    # only propagates here; plane m (interior segment boundary m) is
+    # recorded at i == m*Lseg — the reference's record-at-j==mid+1 /
+    # propagate-after contract (FLASH_Viterbi_multithread.c:163,176-179)
+    rec_np = np.zeros((L - 1, spd), dtype=bool)
+    for m_ in range(1, spd):
+        rec_np[m_ * Lseg - 1, m_] = True
+    rec_sched = jnp.asarray(rec_np)
+
+    def local_fn(logA_l, logBT_l, logPi_f, ys_l):
+        r = jax.lax.axis_index("seq")
+
+        def ag(x):
+            if n_state == 1:
+                return x
+            return jax.lax.all_gather(x, "state", axis=x.ndim - 1, tiled=True)
+
+        def local_matvec(delta):
+            """(NL, K) carry -> local (NL, Kd) scores + global argmax."""
+            if use_kernel:
+                return maxplus_step_block(delta, logA_l, interpret=interpret)
+            scores = delta[:, :, None] + logA_l[None]
+            return (jnp.max(scores, axis=1),
+                    jnp.argmax(scores, axis=1).astype(jnp.int32))
+
+        def step_local(delta, sym):
+            """Full trellis step: returns (delta' (NL,K), ptr (NL,K))."""
+            val_l, ptr_l = local_matvec(delta)
+            d_l = val_l + logBT_l[sym]
+            return ag(d_l), ag(ptr_l)
+
+        def fold_one(planes, ptr, rec):
+            """Plane recurrence for one ptr row; rec (nP,) bool selects
+            record-vs-propagate per plane."""
+            idx = jnp.broadcast_to(ptr[:, None, :], planes.shape)
+            moved = jnp.take_along_axis(planes, idx, axis=2)
+            return jnp.where(rec[None, :, None], idx, moved)
+
+        # ---- phase 1: pipelined block forward passes ----------------------
+        def block_pass(carry_delta, ys_blk):
+            sym0 = ys_blk[:, 0]
+            emit0_l = logBT_l[sym0]  # (mb, Kd)
+            bval_l, bptr_l = local_matvec(carry_delta)  # boundary step
+            d = (jnp.where(r == 0, jnp.broadcast_to(logPi_f, (mb, K)), ag(bval_l))
+                 + ag(emit0_l))
+            planes = jnp.concatenate(
+                [ag(bptr_l)[:, None, :],
+                 jnp.zeros((mb, spd - 1, K), jnp.int32)], axis=1)
+
+            if use_kernel and n_state == 1:
+                for c0 in range(1, L, _CHUNK):
+                    c1 = min(c0 + _CHUNK, L)
+                    sym = ys_blk[:, c0:c1]  # (mb, c)
+                    emits = jnp.transpose(logBT_l[sym], (1, 0, 2))  # (c, mb, K)
+                    d, ptrs = maxplus_scan(logA_l, emits, d, interpret=interpret)
+
+                    def fold_chunk(pl_, x):
+                        row, rec = x
+                        return fold_one(pl_, row, rec), None
+
+                    planes, _ = jax.lax.scan(
+                        fold_chunk, planes, (ptrs, rec_sched[c0 - 1:c1 - 1]))
+            else:
+                def stepf(carry, x):
+                    dd, pl_ = carry
+                    sym, rec = x
+                    dn, ptr = step_local(dd, sym)
+                    return (dn, fold_one(pl_, ptr, rec)), None
+
+                (d, planes), _ = jax.lax.scan(
+                    stepf, (d, planes),
+                    (jnp.transpose(ys_blk[:, 1:]), rec_sched))
+            return d, planes
+
+        def tick(carry_delta, c):
+            m_idx = jnp.clip(c - r, 0, n_mb - 1)
+            ys_mb = jax.lax.dynamic_slice(ys_l, (m_idx * mb, 0), (mb, T))
+            ys_blk = jax.lax.dynamic_slice(ys_mb, (0, r * L), (mb, L))
+            d, planes = block_pass(carry_delta, ys_blk)
+            if n_seq > 1:
+                nxt = jax.lax.ppermute(
+                    d, "seq", [(i, (i + 1) % n_seq) for i in range(n_seq)])
+            else:
+                nxt = d
+            return nxt, (planes, d)
+
+        init = jnp.zeros((mb, K), jnp.float32)
+        _, (planes_t, finals_t) = jax.lax.scan(tick, init, jnp.arange(ticks))
+
+        # microbatch m was processed here at tick m + r; it finished at the
+        # last block at tick m + n_seq - 1
+        my_planes = jnp.take(planes_t, jnp.arange(n_mb) + r, axis=0)
+        my_finals = finals_t[n_seq - 1:]  # (n_mb, mb, K)
+
+        # ---- anchor resolution: backward chain over blocks ----------------
+        if n_seq > 1:
+            beta_all = jax.lax.all_gather(my_planes[:, :, 0, :], "seq")
+            finals_all = jax.lax.all_gather(my_finals, "seq")
+        else:
+            beta_all = my_planes[None, :, :, 0, :]
+            finals_all = my_finals[None]
+        j = jnp.argmax(finals_all[n_seq - 1], axis=-1).astype(jnp.int32)
+        ends = [None] * n_seq
+        ends[n_seq - 1] = j
+        for rr in range(n_seq - 1, 0, -1):
+            ends[rr - 1] = jnp.take_along_axis(
+                beta_all[rr], ends[rr][..., None], axis=-1)[..., 0]
+        ends = jnp.stack(ends)  # (n_seq, n_mb, mb)
+        jr = jnp.take(ends, r, axis=0)  # my block-end states
+        jprev = jnp.where(r == 0, 0,
+                          jnp.take(ends, jnp.maximum(r - 1, 0), axis=0))
+
+        # ---- phase 2: forced-boundary pointer decode of my segments -------
+        NL = mb * spd
+
+        def decode_mb(_, x):
+            planes_m, jr_m, jp_m, ys_g = x
+            # interior anchors: plane m evaluated at the block-end state
+            inter = jnp.take_along_axis(
+                planes_m[:, 1:, :],
+                jnp.broadcast_to(jr_m[:, None, None], (mb, max(spd - 1, 0), 1)),
+                axis=2)[..., 0]  # (mb, spd-1)
+            entries = jnp.concatenate([jp_m[:, None], inter], axis=1).reshape(NL)
+            exits = jnp.concatenate([inter, jr_m[:, None]], axis=1).reshape(NL)
+            ys_blk = jax.lax.dynamic_slice(ys_g, (0, r * L), (mb, L))
+            seg_sym = ys_blk.reshape(mb, spd, Lseg)
+            sym0 = seg_sym[:, :, 0].reshape(NL)
+            first = (r == 0) & (jnp.arange(NL) % spd == 0)
+
+            d0 = (jnp.where(first[:, None], jnp.broadcast_to(logPi_f, (NL, K)),
+                            ag(logA_l[entries]))
+                  + ag(logBT_l[sym0]))
+
+            if use_kernel and n_state == 1:
+                chunks = []
+                d = d0
+                for c0 in range(1, Lseg, _CHUNK):
+                    c1 = min(c0 + _CHUNK, Lseg)
+                    sym = seg_sym[:, :, c0:c1].reshape(NL, c1 - c0)
+                    emits = jnp.transpose(logBT_l[sym], (1, 0, 2))
+                    d, ptrs = maxplus_scan(logA_l, emits, d, interpret=interpret)
+                    chunks.append(ptrs)
+                ptrs = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+            else:
+                syms = jnp.transpose(seg_sym[:, :, 1:].reshape(NL, Lseg - 1))
+                _, ptrs = jax.lax.scan(
+                    lambda dd, sym: step_local(dd, sym), d0, syms)
+
+            paths = jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, exits)
+            vals = paths.reshape(mb, L)
+            out = jax.lax.dynamic_update_slice(
+                jnp.zeros((mb, T), jnp.int32), vals, (0, r * L))
+            return None, out
+
+        _, outs = jax.lax.scan(
+            decode_mb, None,
+            (my_planes, jr, jprev, ys_l.reshape(n_mb, mb, T)))
+        out = outs.reshape(Bd, T)
+        return jax.lax.psum(out, "seq") if n_seq > 1 else out
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, "state"), P(None, "state"), P(None), P("data", None)),
+        out_specs=P("data", None),
+        # all_gather'd carries are value-replicated over 'state' but JAX's
+        # varying-manual-axes analysis can't prove it; skip the check.
+        check_vma=False,
+    )
+    return jax.jit(fn)(logA, logBT, logPi, ys)
+
+
+# ===========================================================================
+# Legacy path: replicated phase 1, flash_midpoints segment layout
+# (kept for shapes the pipelined path's even-division constraints reject;
+#  bit-identical to algorithms.flash pointer mode with the same segments)
+# ===========================================================================
 
 def _ag(x):
     """Rebuild a full K-vector from per-device state shards (tiled ICI gather)."""
@@ -168,33 +414,9 @@ def _decode_one_local(logA_l, logB_l, logPi_l, y, starts, lens, mids: list[int],
     return jax.lax.psum(out, "seq")
 
 
-# ---------------------------------------------------------------------------
-# Public entry
-# ---------------------------------------------------------------------------
-
-def flash_decode_sharded(mesh: Mesh, logA, logB, logPi, ys, num_segments: int | None = None):
-    """Batched multi-chip FLASH decode.
-
-    Args:
-      mesh: a (data, seq, state) mesh from :func:`make_mesh`.
-      logA/logB/logPi: log tables (padded so K divides mesh 'state' size).
-      ys: (Bs, T) int32 observation batch (Bs divides mesh 'data' size).
-      num_segments: total phase-2 segments; must be a multiple of the 'seq'
-        axis size (default: one segments-per-device multiple that keeps
-        segments ≥ 2 steps).
-
-    Returns:
-      (Bs, T) int32 decoded paths, bit-identical to ``algorithms.flash``
-      pointer mode with the same segment count.
-    """
+def _flash_decode_legacy(mesh, logA, logB, logPi, ys, num_segments):
     n_seq = mesh.shape["seq"]
-    n_state = mesh.shape["state"]
     Bs, T = ys.shape
-    K = logA.shape[0]
-    if K % n_state:
-        raise ValueError(f"padded K={K} must divide state axis {n_state}")
-    if Bs % mesh.shape["data"]:
-        raise ValueError(f"batch {Bs} must divide data axis {mesh.shape['data']}")
 
     N = num_segments if num_segments is not None else n_seq * max(1, min(4, T // (2 * n_seq)))
     if N % n_seq:
@@ -222,8 +444,66 @@ def flash_decode_sharded(mesh: Mesh, logA, logB, logPi, ys, num_segments: int | 
         mesh=mesh,
         in_specs=(P(None, "state"), P("state", None), P("state"), P("data", None)),
         out_specs=P("data", None),
-        # all_gather'd carries are value-replicated over 'state' but JAX's
-        # varying-manual-axes analysis can't prove it; skip the check.
         check_vma=False,
     )
     return jax.jit(fn)(logA, logB, logPi, ys)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+def flash_decode_sharded(mesh: Mesh, logA, logB, logPi, ys,
+                         num_segments: int | None = None,
+                         microbatch: int = 1,
+                         pipeline: bool | str = "auto",
+                         use_kernel: bool | str = "auto"):
+    """Batched multi-chip FLASH decode.
+
+    Args:
+      mesh: a (data, seq, state) mesh from :func:`make_mesh`.
+      logA/logB/logPi: log tables (padded so K divides mesh 'state' size).
+      ys: (Bs, T) int32 observation batch (Bs divides mesh 'data' size).
+      num_segments: total phase-2 segments; must be a multiple of the 'seq'
+        axis size.
+      microbatch: sequences per pipeline microbatch (pipelined path only);
+        larger values amortize the kernel's logA stream over more lanes,
+        smaller values fill the pipeline faster.
+      pipeline: "auto" uses the pipelined seq-parallel path whenever the
+        shape divides evenly (T % n_seq == 0, equal segments); False forces
+        the legacy replicated-phase-1 path; True errors if unsupported.
+      use_kernel: run the Pallas kernels inside shard_map ("auto": only on
+        the TPU backend — CPU tests take the bit-identical XLA path).
+
+    Returns:
+      (Bs, T) int32 decoded paths — bit-identical to ``algorithms.flash``
+      (and therefore ``algorithms.vanilla``) on every mesh shape.
+    """
+    n_data, n_seq, n_state = (mesh.shape[a] for a in AXES)
+    Bs, T = ys.shape
+    K = logA.shape[0]
+    if K % n_state:
+        raise ValueError(f"padded K={K} must divide state axis {n_state}")
+    if Bs % n_data:
+        raise ValueError(f"batch {Bs} must divide data axis {n_data}")
+
+    plan = _pipeline_plan(T, n_seq, num_segments)
+    if pipeline is True and plan is None:
+        raise ValueError(
+            f"pipelined path needs T divisible into equal segments per seq "
+            f"device (T={T}, n_seq={n_seq}, num_segments={num_segments})")
+    if pipeline is False or plan is None:
+        return _flash_decode_legacy(mesh, logA, logB, logPi, ys, num_segments)
+
+    L, spd, Lseg = plan
+    if use_kernel == "auto":
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        ok = (kernel_supported(K) if n_state == 1
+              else step_block_supported(K, K // n_state))
+        if not ok:
+            use_kernel = False
+    interpret = bool(use_kernel) and jax.default_backend() != "tpu"
+    logBT = jnp.transpose(logB)  # (M, K), column-sharded over 'state'
+    return _flash_decode_pipelined(mesh, logA, logBT, logPi, ys, L, spd, Lseg,
+                                   int(microbatch), bool(use_kernel), interpret)

@@ -40,6 +40,63 @@ def test_sharded_matches_single_chip(small_problem, shape, segs):
     np.testing.assert_array_equal(out, ref[None, :].repeat(4, axis=0))
 
 
+@pytest.mark.parametrize("shape,segs,mb", [
+    ((1, 1, 1), 8, 1),
+    ((1, 2, 1), 8, 1),
+    ((1, 4, 1), 8, 2),
+    ((2, 2, 2), 8, 1),
+    ((1, 2, 4), 8, 1),
+    ((1, 8, 1), 8, 1),
+    ((1, 1, 8), 4, 4),
+    ((1, 2, 2), 4, 2),
+])
+def test_pipelined_matches_single_chip(small_problem, shape, segs, mb):
+    """The pipelined seq-parallel path (GPipe-style block flow + hierarchical
+    anchor-plane resolution) must be bit-identical to single-chip flash."""
+    hmm, y = small_problem
+    logA, logB, logPi = _tables(hmm)
+    ys = jnp.stack([jnp.asarray(y, jnp.int32)] * 4)
+    mesh = make_mesh(*shape)
+    out = np.asarray(flash_decode_sharded(mesh, logA, logB, logPi, ys,
+                                          num_segments=segs, microbatch=mb,
+                                          pipeline=True))
+    ref = np.asarray(flash_decode(logA, logB, logPi, jnp.asarray(y, jnp.int32),
+                                  num_segments=segs, mode="pointer"))
+    np.testing.assert_array_equal(out, ref[None, :].repeat(4, axis=0))
+
+
+@pytest.mark.parametrize("shape", [(1, 2, 1), (1, 1, 2), (1, 2, 2)])
+def test_pipelined_kernel_interpret(small_problem, shape):
+    """Pallas kernels inside shard_map (fused scan at n_state=1, rectangular
+    step kernel at n_state>1), interpret mode on the CPU mesh."""
+    hmm, y = small_problem
+    logA, logB, logPi = _tables(hmm)
+    ys = jnp.stack([jnp.asarray(y, jnp.int32)] * 4)
+    out = np.asarray(flash_decode_sharded(make_mesh(*shape), logA, logB, logPi,
+                                          ys, num_segments=4, microbatch=2,
+                                          pipeline=True, use_kernel=True))
+    ref = np.asarray(flash_decode(logA, logB, logPi, jnp.asarray(y, jnp.int32),
+                                  num_segments=4, mode="pointer"))
+    np.testing.assert_array_equal(out, ref[None, :].repeat(4, axis=0))
+
+
+def test_pipelined_distinct_batch(medium_problem):
+    hmm, y = medium_problem
+    logA, logB, logPi = _tables(hmm)
+    rng = np.random.RandomState(0)
+    y = np.asarray(y)
+    ys = np.stack([y, rng.randint(0, hmm.M, size=len(y)).astype(y.dtype),
+                   y[::-1].copy(), (y + 1) % hmm.M])
+    mesh = make_mesh(2, 2, 2)
+    out = np.asarray(flash_decode_sharded(mesh, logA, logB, logPi,
+                                          jnp.asarray(ys, jnp.int32),
+                                          num_segments=4, pipeline=True))
+    for b in range(4):
+        ref = np.asarray(flash_decode(logA, logB, logPi, jnp.asarray(ys[b], jnp.int32),
+                                      num_segments=4, mode="pointer"))
+        np.testing.assert_array_equal(out[b], ref)
+
+
 def test_distinct_batch_elements(medium_problem):
     """Different sequences in the batch decode independently."""
     hmm, y = medium_problem
