@@ -50,13 +50,21 @@ class DecodeResult:
 
 
 class Decoder:
-    """A configured, jit-compiled decoder for fixed static shapes."""
+    """A configured, jit-compiled decoder for fixed static shapes.
 
-    def __init__(self, name: str, fn: Callable, static: dict, memory_fn: Callable):
+    ``jittable=False`` marks decoders whose control flow is data-dependent
+    on the host (e.g. SIEVE-BS's dynamic-median recursion reads split
+    points back); ``decode()`` then calls them eagerly — their inner
+    forward passes are still jitted per segment length.
+    """
+
+    def __init__(self, name: str, fn: Callable, static: dict, memory_fn: Callable,
+                 jittable: bool = True):
         self.name = name
         self._fn = fn
         self.static = static
         self._memory_fn = memory_fn
+        self.jittable = jittable
 
     def __call__(self, logA, logB, logPi, y) -> jax.Array:
         return self._fn(logA, logB, logPi, y)
@@ -96,7 +104,7 @@ def decode(
     logA, logB, logPi = put(lh.logA), put(lh.logB), put(lh.logPi)
     yd = put(np.asarray(y, dtype=np.int32))
 
-    fn = jax.jit(dec)
+    fn = jax.jit(dec) if dec.jittable else dec
     if warmup:
         jax.block_until_ready(fn(logA, logB, logPi, yd))
     t0 = time.perf_counter()

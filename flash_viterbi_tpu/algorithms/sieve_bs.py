@@ -1,0 +1,279 @@
+"""SIEVE-BS (dynamic median), TPU-native: the last reference algorithm.
+
+The reference (``Base_line/C implementations/SIEVE-BS.c:360-549`` /
+``sieve_beam_search.py:65-261``) recurses over a *data-dependent* split
+point: during each beam-pruned forward pass it tracks, per end state, the
+transition minimizing ``max(#b-hop-ancestors(x_a), #b-hop-descendants(x_b))``
+with a ``|j - T/2|`` closeness tie-break, then splits the segment there.
+
+TPU redesign: the split sizes are runtime data, so — unlike ``sieve_mp``'s
+static tree — the recursion cannot be a fixed level-batched program.  The
+decomposition here:
+
+* **All trellis math runs on device.**  Each recursion node's forward pass
+  is one jitted function (auto-memoized per segment length): a dense
+  masked beam step with the dynamic-median carry vectorized over all K
+  destinations, and the *sequential candidate semantics* of the reference
+  (beam-ordered source iteration with strictly-greater improvement, the
+  stale-median no-write quirk, median inheritance from the source's path)
+  reproduced exactly by a ``lax.scan`` over the B beam slots.
+* **b-hop neighborhood counts** (the preprocessing of ``calc`` :656-672)
+  are K simultaneous BFS frontier advances as dense matmuls on device.
+* **The host drives only the recursion** — it reads back the split point
+  (x_a, x_b, N_left) per node, prunes the state set with a vectorized
+  numpy BFS (``_reach``, sieve_beam_search.py:504-546), and recurses —
+  mirroring the reference's own inherently sequential control flow.
+* Per-dest *active token sets* (the beam snapshot attached to a median,
+  :465-484) collapse to one invariant: the set attached to state h is
+  always the beam recorded after step ``med_n[h]`` — so a (T, K) beam
+  log replaces the reference's per-state set copies.
+
+Documented deltas (identical off exact fp ties, same policy as
+``sieve_bs_mp``): score ties resolve by lowest state index (the reference
+resolves by dict-insertion order); scores are fp32 (reference float64).
+
+Reference quirks kept: subproblems all use the *uniform* root prior
+(``build_adjacency`` defaults Pi=None → log(1/K), never the model Pi);
+emission misses contribute 0 (dict fallthrough :119-123); left children
+force ``last=x_a`` while right children inherit the parent's resolved
+``last`` (:207/:259); left recursions thread the parent's token set,
+right recursions get the median-step beam (:218-219).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .base import Decoder, register
+from .sieve import NEG, _bfs_masks
+
+_SENT_TOUCHED = jnp.float32(-2.0e38)   # touched but still -inf (dict key present)
+_SENT_UNTOUCHED = jnp.float32(-3.0e38)
+
+
+def _beam_vals(T1, touched):
+    """Order states as heapq.nlargest over the touched dict: finite scores
+    first, then touched -inf entries, then absent states."""
+    return jnp.where(touched, jnp.where(jnp.isneginf(T1), _SENT_TOUCHED, T1),
+                     _SENT_UNTOUCHED)
+
+
+@partial(jax.jit, static_argnames=("hops",))
+def _bhop_counts(A_posF, hops: int):
+    """(#<=hops-edge ancestors, #descendants) per state — the reference's
+    per-state BFS preprocessing (SIEVE-BS.c:656-672) as K simultaneous
+    frontier advances; source excluded unless re-reached (cycle)."""
+    K = A_posF.shape[0]
+    eye = jnp.eye(K, dtype=jnp.float32)
+    ones = jnp.ones((K, K), jnp.float32)
+    desc = _bfs_masks(A_posF, eye, ones, hops).sum(axis=1)
+    anc = _bfs_masks(jnp.transpose(A_posF), eye, ones, hops).sum(axis=1)
+    return anc.astype(jnp.float32), desc.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("B",))
+def _node_forward(logA, emitQ, A_posF, anc_cnt, desc_cnt, pi_log,
+                  y_seg, mask, tokens0, last_forced, B: int):
+    """One recursion node's beam forward pass with dynamic-median tracking.
+
+    Returns (x_a, x_b, n_left, tokens_right (K,) f32, last) — the split
+    decision of ``viterbi_space_efficient``'s main loop (:151-219).
+    """
+    L = y_seg.shape[0]
+    K = logA.shape[0]
+    Thalf = L / 2.0
+    iota = jnp.arange(K, dtype=jnp.int32)
+
+    emit0 = emitQ[:, y_seg[0]]
+    T1_0 = jnp.where(mask > 0, pi_log + emit0, NEG)
+
+    # --- step j=1: every winning candidate writes its median (prev_val is
+    # +inf), so the dense argmax is the exact sequential result ----------
+    emit1 = emitQ[:, y_seg[1]]
+    src = jnp.where(tokens0 > 0, T1_0, NEG)
+    cand = jnp.where(A_posF > 0, src[:, None] + logA, NEG) + emit1[None, :]
+    cand = jnp.where(mask[None, :] > 0, cand, NEG)
+    t1 = jnp.max(cand, axis=0)
+    winner = jnp.argmax(cand, axis=0).astype(jnp.int32)
+    touched = jnp.logical_and((tokens0 @ A_posF) > 0, mask > 0)
+    won = jnp.logical_and(touched, t1 > NEG)
+    pair1 = jnp.maximum(anc_cnt[winner], desc_cnt)
+    mx = jnp.where(won, winner, -1)
+    my = jnp.where(won, iota, -1)
+    mn = jnp.where(won, 1, 0).astype(jnp.int32)
+    mval = jnp.where(won, pair1, jnp.inf)
+    T1 = jnp.where(touched, t1, NEG)
+
+    bvals = _beam_vals(T1, touched)
+    _, bidx = jax.lax.top_k(bvals, B)
+    eff = jnp.minimum(B, jnp.sum(touched))
+    slot_ok = jnp.arange(B) < eff
+    tokm = jnp.zeros((K,), jnp.float32).at[bidx].max(slot_ok.astype(jnp.float32))
+    beams = jnp.zeros((L, K), jnp.float32).at[1].set(tokm)
+
+    # --- steps j=2..L-1: lax.scan over beam slots reproduces the
+    # reference's sequential candidate processing exactly ----------------
+    def outer(carry, x):
+        T1, mx, my, mn, mval, bidx, eff, touched, beams = carry
+        j, emit_row = x
+
+        def slot(c_carry, c):
+            nT1, nmx, nmy, nmn, nmval = c_carry
+            node = bidx[c]
+            validc = c < eff
+            cand = T1[node] + logA[node] + emit_row  # (K,)
+            edge = (A_posF[node] > 0) & (mask > 0) & validc
+            win = edge & (cand > nT1)
+            pair = jnp.maximum(anc_cnt[node], desc_cnt)
+            pv = mval[node]
+            closer = (jnp.abs(j.astype(jnp.float32) - Thalf)
+                      < jnp.abs(mn[node].astype(jnp.float32) - Thalf))
+            take_new = (pair < pv) | ((pair == pv) & closer)
+            take_inh = (~take_new) & (mx[node] != -1)
+            wn = win & take_new
+            wi = win & take_inh
+            nmx = jnp.where(wn, node, jnp.where(wi, mx[node], nmx))
+            nmy = jnp.where(wn, iota, jnp.where(wi, my[node], nmy))
+            nmn = jnp.where(wn, j, jnp.where(wi, mn[node], nmn)).astype(jnp.int32)
+            nmval = jnp.where(wn, pair, jnp.where(wi, pv, nmval))
+            nT1 = jnp.where(win, cand, nT1)
+            return (nT1, nmx, nmy, nmn, nmval), None
+
+        init = (jnp.full((K,), NEG), jnp.full((K,), -1, jnp.int32),
+                jnp.full((K,), -1, jnp.int32), jnp.zeros((K,), jnp.int32),
+                jnp.full((K,), jnp.inf, jnp.float32))
+        (nT1, nmx, nmy, nmn, nmval), _ = jax.lax.scan(
+            slot, init, jnp.arange(B))
+
+        ntouched = jnp.logical_and((tokm_of(bidx, eff) @ A_posF) > 0, mask > 0)
+        nbvals = _beam_vals(nT1, ntouched)
+        _, nbidx = jax.lax.top_k(nbvals, B)
+        neff = jnp.minimum(B, jnp.sum(ntouched))
+        ntok = tokm_of(nbidx, neff)
+        beams = beams.at[j].set(ntok)
+        nT1 = jnp.where(ntouched, nT1, NEG)
+        return (nT1, nmx, nmy, nmn, nmval, nbidx, neff, ntouched, beams), None
+
+    def tokm_of(bidx, eff):
+        ok = (jnp.arange(B) < eff).astype(jnp.float32)
+        return jnp.zeros((K,), jnp.float32).at[bidx].max(ok)
+
+    if L > 2:
+        (T1, mx, my, mn, mval, bidx, eff, touched, beams), _ = jax.lax.scan(
+            outer, (T1, mx, my, mn, mval, bidx, eff, touched, beams),
+            (jnp.arange(2, L), emitQ[:, y_seg[2:]].T))
+
+    last = jnp.where(last_forced >= 0, last_forced,
+                     jnp.argmax(_beam_vals(T1, touched)).astype(jnp.int32))
+    x_a = mx[last]
+    x_b = my[last]
+    n_left = mn[last]
+    tokens_right = jnp.where(x_a != -1, beams[n_left], jnp.zeros((K,)))
+    return x_a, x_b, n_left, tokens_right, last
+
+
+def _host_reach(A_pos: np.ndarray, src: int, b: int, out: bool) -> np.ndarray:
+    """Visited-gated level BFS, <= b-1 edge hops; source excluded unless
+    re-reached (the reference's ``_reach``, sieve_beam_search.py:504-546)."""
+    adj = A_pos if out else A_pos.T
+    K = A_pos.shape[0]
+    visited = np.zeros(K, bool)
+    frontier = np.zeros(K, bool)
+    frontier[src] = True
+    found = np.zeros(K, bool)
+    for _ in range(max(b - 1, 0)):
+        nxt = adj[frontier].any(axis=0) & ~visited
+        if not nxt.any():
+            break
+        found |= nxt
+        visited |= nxt
+        frontier = nxt
+    return found
+
+
+def sieve_bs_decode(logA, logB_raw, logPi, y, beam_width: int,
+                    b_hops: int | None = None) -> list[tuple[int, int]]:
+    """Full SIEVE-BS decode; returns the in-order median-pair list
+    (bit-compatible with ``oracle.sieve_bs.sieve_bs`` off exact fp ties).
+
+    Host-driven recursion (split sizes are runtime data — the reference's
+    control flow is inherently sequential here); every forward pass and the
+    BFS-count preprocessing run on device.
+    """
+    K = int(logA.shape[0])
+    T = int(y.shape[0])
+    B = min(int(beam_width), K)
+    y_np = np.asarray(y)
+
+    A_posF = (logA > NEG).astype(jnp.float32)
+    A_pos_np = np.asarray(A_posF) > 0
+    emitQ = jnp.where(logB_raw > NEG, logB_raw, 0.0)
+    # uniform root prior for every subproblem (build_adjacency Pi=None)
+    pi_log = jnp.float32(np.float64(np.log(1.0 / K)))
+    b = T if b_hops is None else int(b_hops)
+    anc_cnt, desc_cnt = _bhop_counts(A_posF, hops=max(b - 1, 0))
+
+    path: list[tuple[int, int]] = []
+
+    def rec(mask_np: np.ndarray, y_seg: np.ndarray, last: int | None,
+            tokens_np: np.ndarray | None):
+        L = len(y_seg)
+        if mask_np.sum() <= 1:
+            return
+        tokens0 = mask_np if tokens_np is None else tokens_np
+        x_a, x_b, n_left, tokens_right, last_r = _node_forward(
+            logA, emitQ, A_posF, anc_cnt, desc_cnt, pi_log,
+            jnp.asarray(y_seg, jnp.int32),
+            jnp.asarray(mask_np, jnp.float32),
+            jnp.asarray(tokens0, jnp.float32),
+            jnp.asarray(-1 if last is None else last, jnp.int32), B=B)
+        x_a, x_b, n_left, last_r = (int(x_a), int(x_b), int(n_left), int(last_r))
+
+        if n_left > 1 and x_a >= 0:
+            lm = _host_reach(A_pos_np, x_a, n_left, out=False)
+            lm = lm.copy()
+            lm[x_a] = True
+            rec(lm, y_seg[:n_left], x_a, tokens_np)
+
+        path.append((x_a, x_b))
+
+        n_right = L - n_left
+        if n_right > 1 and x_b >= 0:
+            rm = _host_reach(A_pos_np, x_b, n_right, out=True)
+            rm = rm.copy()
+            rm[x_b] = True
+            rec(rm, y_seg[-n_right:], last_r,
+                np.asarray(tokens_right) > 0)
+
+    rec(np.ones(K, bool), y_np, None, None)
+    return path
+
+
+def _memory(K: int, T: int, beam_width: int = 64, **_) -> int:
+    # per node: T1/median carries (5 K-vectors) + the (T, K) beam log +
+    # b-hop count vectors; derived from the decoder's actual live buffers
+    return 5 * K * 4 + T * K * 4 + 2 * K * 4
+
+
+@register("sieve_bs")
+def _build(beam_width: int = 64, b_hops: int | None = None, **static) -> Decoder:
+    def fn(logA, logB, logPi, y):
+        pairs = sieve_bs_decode(logA, logB, logPi, y, beam_width=beam_width,
+                                b_hops=b_hops)
+        # pretty_print_path layout: p0.x, p0.y, then .y of each later pair
+        if not pairs:
+            return jnp.zeros((int(y.shape[0]),), jnp.int32)
+        flat = [pairs[0][0], pairs[0][1]] + [p[1] for p in pairs[1:]]
+        T = int(y.shape[0])
+        out = np.full((T,), -1, np.int32)
+        out[:min(len(flat), T)] = np.asarray(flat[:T], np.int32)
+        return jnp.asarray(out)
+
+    return Decoder("sieve_bs", fn,
+                   {"beam_width": beam_width, "b_hops": b_hops, **static},
+                   _memory, jittable=False)
