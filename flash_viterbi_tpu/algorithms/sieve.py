@@ -287,20 +287,28 @@ def sieve_mp_decode(logA, logB, logPi, y, A_posF,
 # SIEVE-BS-Mp, TPU-native: beam-pruned fixed-median D&C
 # ---------------------------------------------------------------------------
 
-def sieve_bs_mp_decode(logA, logB_raw, logPi, y, A_posF, beam_width: int):
+def sieve_bs_mp_decode(logA, logB_raw, logPi, y, A_posF, beam_width: int,
+                       use_pallas: bool | str = "auto"):
     """TPU-native SIEVE-BS-Mp (``sieve_beam_search.py:351-501`` /
     ``SIEVE-BS-Mp.c``): fixed-median D&C with static top-B beam pruning,
     on the same static level-batched tree as :func:`sieve_mp_decode`.
 
-    Reference semantics kept in dense masked form: only out-edges of the
-    current token set relax (states with no in-edge from the beam drop
-    out); emission misses contribute 0 (``B==0`` dict fallthrough,
-    :405-409); the beam is the top-``min(B, #touched)`` of touched states;
-    the median-step beam becomes the right child's token set; left
-    children inherit the parent's tokens; left children force
-    ``last=x_a``, right children inherit the parent's ``last`` (:496).
-    Documented delta: ties resolve by lowest state index (the reference's
-    dict-insertion order); identical off ties.
+    Reference semantics kept: only out-edges of the current token set
+    relax (states with no in-edge from the beam drop out); emission misses
+    contribute 0 (``B==0`` dict fallthrough, :405-409); the beam is the
+    top-``min(B, #touched)`` of touched states; the median-step beam
+    becomes the right child's token set; left children inherit the
+    parent's tokens; left children force ``last=x_a``, right children
+    inherit the parent's ``last`` (:496).  Documented delta: ties resolve
+    by lowest state index / beam rank (the reference's dict-insertion
+    order); identical off ties.
+
+    Cost shape: only each segment's FIRST step (whose token set can exceed
+    the beam, e.g. the root's full K) runs a dense max-plus (the fused
+    Pallas kernel on TPU — no (S, K, K) score tensor is ever
+    materialized); every later step gathers the B beam rows of ``logA``
+    and runs in O(S*B*K) — which is what makes headline-K (3965+) decoding
+    possible.
 
     Returns the flattened in-order pair path ``[p0.x, p0.y, p1.y, ...]``
     (the reference's pretty_print_path layout), -1 where a segment's
@@ -312,6 +320,9 @@ def sieve_bs_mp_decode(logA, logB_raw, logPi, y, A_posF, beam_width: int):
     if T == 1:
         d0 = logPi + logB_raw[:, y[0]]
         return jnp.argmax(d0).astype(jnp.int32)[None]
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu" and kernel_supported(K)
+    interp = _pallas_interpret()
 
     # miss-as-zero emission table (reference acoustic dict fallthrough)
     emitQ = jnp.where(logB_raw > NEG, logB_raw, 0.0)  # (K, M)
@@ -324,6 +335,18 @@ def sieve_bs_mp_decode(logA, logB_raw, logPi, y, A_posF, beam_width: int):
     lasts: dict[int, jax.Array] = {0: jnp.asarray(-2, jnp.int32)}  # -2 = argmax
     pairs_x: dict[int, jax.Array] = {}
     pairs_y: dict[int, jax.Array] = {}
+
+    def _select_beam(touched, newT1):
+        """(top_idx (S,B), eff (S,), token mask (S,K)) of the touched top-B."""
+        S = touched.shape[0]
+        eff = jnp.minimum(B, jnp.sum(touched, axis=1))
+        vals = jnp.where(touched, newT1, NEGBIG)
+        _, top_idx = jax.lax.top_k(vals, B)
+        slot_ok = jnp.arange(B)[None, :] < eff[:, None]
+        tokm = jnp.zeros_like(touched, jnp.float32).at[
+            jnp.arange(S)[:, None], top_idx
+        ].max(jnp.where(slot_ok, 1.0, 0.0))
+        return top_idx, eff, tokm
 
     def run_group(group):
         S = len(group)
@@ -340,19 +363,45 @@ def sieve_bs_mp_decode(logA, logB_raw, logPi, y, A_posF, beam_width: int):
         T1 = jnp.where(mask > 0,
                        logPi[None, :] + emitQ[:, sym0].T, NEG)
 
-        px = jnp.full((S, K), -1, jnp.int32)
-        py = jnp.full((S, K), -1, jnp.int32)
-        mid_beam = cur
+        # --- step j=1: dense (the token set may exceed B) ---------------
+        T1m = jnp.where(cur > 0, T1, NEG)
+        if use_pallas:
+            zero_emit = jnp.zeros((1, S, K), jnp.float32)
+            dfin, ptrs = maxplus_scan(logA, zero_emit, T1m, interpret=interp)
+            val1, win1 = dfin, ptrs[0]
+        else:
+            def one(t1m):
+                scores = t1m[:, None] + logA  # (K, K), one lane at a time
+                return (jnp.max(scores, axis=0),
+                        jnp.argmax(scores, axis=0).astype(jnp.int32))
 
+            val1, win1 = jax.lax.map(one, T1m)
+        touched = jnp.logical_and((cur @ A_posF) > 0, mask > 0)
+        sym1 = y[starts + 1]
+        T1 = jnp.where(touched, val1 + emitQ[:, sym1].T, NEG)
+
+        if th == 1:
+            px = win1
+            py = jnp.broadcast_to(iota[None, :], (S, K))
+        else:
+            px = jnp.full((S, K), -1, jnp.int32)
+            py = jnp.full((S, K), -1, jnp.int32)
+        tok_idx, eff, tokm = _select_beam(touched, T1)
+        mid_beam = tokm if th == 1 else cur
+
+        # --- steps j>=2: beam-space gathered rows, O(S*B*K) -------------
         def step(carry, j):
-            T1, cur, px, py, mid_beam = carry
+            T1, px, py, mid_beam, tok_idx, eff, tokm = carry
             sym = y[starts + j]
-            T1m = jnp.where(cur > 0, T1, NEG)
-            scores = T1m[:, :, None] + logA[None, :, :]  # (S, K, K)
+            rows = logA[tok_idx]  # (S, B, K)
+            t1tok = jnp.take_along_axis(T1, tok_idx, axis=1)  # (S, B)
+            valid = jnp.arange(B)[None, :] < eff[:, None]
+            t1tok = jnp.where(valid, t1tok, NEG)
+            scores = t1tok[:, :, None] + rows  # (S, B, K)
             val = jnp.max(scores, axis=1)
-            win = jnp.argmax(scores, axis=1).astype(jnp.int32)
-            touched = jnp.logical_and(
-                (cur @ (logA > NEG).astype(jnp.float32)) > 0, mask > 0)
+            slot = jnp.argmax(scores, axis=1).astype(jnp.int32)
+            win = jnp.take_along_axis(tok_idx, slot, axis=1)  # global sources
+            touched = jnp.logical_and((tokm @ A_posF) > 0, mask > 0)
             newT1 = jnp.where(touched, val + emitQ[:, sym].T, NEG)
 
             rec = j == th
@@ -363,20 +412,14 @@ def sieve_bs_mp_decode(logA, logB_raw, logPi, y, A_posF, beam_width: int):
             px = jnp.where(prop, px_rec, px)
             py = jnp.where(prop, py_rec, py)
 
-            effB = jnp.minimum(B, jnp.sum(touched, axis=1))
-            vals = jnp.where(touched, newT1, NEGBIG)
-            _, top_idx = jax.lax.top_k(vals, B)
-            slot_ok = jnp.arange(B)[None, :] < effB[:, None]
-            newcur = jnp.zeros((S, K), jnp.float32).at[
-                jnp.arange(S)[:, None], top_idx
-            ].max(jnp.where(slot_ok, 1.0, 0.0))
+            ntok_idx, neff, ntokm = _select_beam(touched, newT1)
+            mid_beam = jnp.where(rec, ntokm, mid_beam)
+            return (newT1, px, py, mid_beam, ntok_idx, neff, ntokm), None
 
-            mid_beam = jnp.where(rec, newcur, mid_beam)
-            return (newT1, newcur, px, py, mid_beam), None
-
-        (T1, cur, px, py, mid_beam), _ = jax.lax.scan(
-            step, (T1, cur, px, py, mid_beam),
-            jnp.arange(1, length))
+        if length > 2:
+            (T1, px, py, mid_beam, tok_idx, eff, tokm), _ = jax.lax.scan(
+                step, (T1, px, py, mid_beam, tok_idx, eff, tokm),
+                jnp.arange(2, length))
 
         argm = jnp.argmax(jnp.where(mask > 0, T1, NEG), axis=1).astype(jnp.int32)
         last = jnp.where(last_f > -2, last_f, argm)
@@ -432,11 +475,13 @@ def sieve_bs_mp_decode(logA, logB_raw, logPi, y, A_posF, beam_width: int):
 
 
 @register("sieve_bs_mp")
-def _build_bs_mp(beam_width: int = 64, **static) -> Decoder:
+def _build_bs_mp(beam_width: int = 64, use_pallas: bool | str = "auto",
+                 **static) -> Decoder:
     def fn(logA, logB, logPi, y):
         A_posF = (logA > NEG).astype(jnp.float32)
         return sieve_bs_mp_decode(logA, logB, logPi, y, A_posF,
-                                  beam_width=beam_width)
+                                  beam_width=beam_width,
+                                  use_pallas=use_pallas)
 
     return Decoder("sieve_bs_mp", fn, {"beam_width": beam_width, **static},
                    lambda K, T, **_: T * beam_width * 8 + 4 * K * 4)

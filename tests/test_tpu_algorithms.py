@@ -128,6 +128,20 @@ def test_sieve_bs_large_k():
     assert got == want
 
 
+def test_sieve_bs_mp_large_k():
+    """Beam-space step formulation survives larger K (no (S,K,K) scores)."""
+    from flash_viterbi_tpu.models.generate import make_sparse_hmm
+    from flash_viterbi_tpu.oracle.sieve_bs import sieve_bs_mp as oracle_bs_mp
+
+    K, M, T, prob, seed, bw = 512, 6, 16, 0.02, 5, 16
+    hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+    pairs = oracle_bs_mp(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+    want = np.asarray([pairs[0][0], pairs[0][1]] + [p[1] for p in pairs[1:]])[:T]
+    r = decode(hmm, y, algorithm="sieve_bs_mp", beam_width=bw, pad_to=1,
+               warmup=False)
+    np.testing.assert_array_equal(r.path, want)
+
+
 def test_sieve_bs_registered(small_problem):
     """Registry integration: non-jittable decoder path through decode()."""
     hmm, y = small_problem
