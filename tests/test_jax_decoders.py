@@ -82,3 +82,15 @@ def test_decode_result_protocol(small_problem):
     assert out.startswith("time: ")
     assert "path: [" in out and "memory: " in out
     assert r.memory_bytes > 0
+
+
+@pytest.mark.parametrize("leaf", [0, 4, 64])
+def test_lean_leaf_hybrid(small_problem, leaf):
+    """Hybrid lean (binary-split to min_leaf, then batched pointer leaves)
+    is bit-identical to vanilla at every leaf size (0 = the reference's
+    full splitting)."""
+    hmm, y = small_problem
+    v = decode(hmm, y, algorithm="vanilla", pad_to=1, warmup=False)
+    l = decode(hmm, y, algorithm="flash", mode="lean", num_segments=4,
+               lean_leaf=leaf, pad_to=1, warmup=False)
+    np.testing.assert_array_equal(l.path, v.path)
