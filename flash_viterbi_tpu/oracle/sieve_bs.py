@@ -86,7 +86,6 @@ class _Ctx:
         self.acoustic = acoustic
         self.B = beam_width
         self.path: list = []
-        K = len(A_out)
         self.b_hop_ancestors: dict = {}
         self.b_hop_descendants: dict = {}
 

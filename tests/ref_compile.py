@@ -36,12 +36,22 @@ def have_gcc() -> bool:
     return shutil.which("gcc") is not None
 
 
-def have_glib() -> bool:
+_GLIB_SHIM = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "csrc", "glibshim")
+
+
+def have_real_glib() -> bool:
     try:
-        subprocess.run(["pkg-config", "--exists", "glib-2.0"], check=True)
+        subprocess.run(["pkg-config", "--exists", "glib-2.0"], check=True,
+                       capture_output=True)
         return True
     except Exception:
         return False
+
+
+def have_glib() -> bool:
+    """Real glib-2.0 or the vendored single-header shim (csrc/glibshim)."""
+    return have_real_glib() or os.path.exists(os.path.join(_GLIB_SHIM, "glib.h"))
 
 
 def patch_source(src: str, K: int, M: int, T: int, prob: float, data_path: str,
@@ -75,9 +85,12 @@ def build_and_run(name: str, workdir: str, K: int, M: int, T: int, prob: float,
     cmd = ["gcc", "-O2", "-pthread", cfile, "-o", binfile, "-lm",
            "-Wl,-z,stack-size=268435456"]
     if name in NEEDS_GLIB:
-        flags = subprocess.run(["pkg-config", "--cflags", "--libs", "glib-2.0"],
-                               capture_output=True, text=True, check=True)
-        cmd = cmd[:-2] + flags.stdout.split() + cmd[-2:]
+        if have_real_glib():
+            flags = subprocess.run(["pkg-config", "--cflags", "--libs", "glib-2.0"],
+                                   capture_output=True, text=True, check=True)
+            cmd = cmd[:-2] + flags.stdout.split() + cmd[-2:]
+        else:
+            cmd.insert(1, f"-I{_GLIB_SHIM}")  # vendored minimal glib shim
     subprocess.run(cmd, check=True, capture_output=True)
     out = subprocess.run([binfile], capture_output=True, text=True, check=True,
                          timeout=600).stdout

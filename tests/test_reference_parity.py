@@ -12,7 +12,7 @@ from flash_viterbi_tpu.models.generate import make_sparse_hmm
 from flash_viterbi_tpu.oracle import reference as oref
 from flash_viterbi_tpu.utils.io import save_dataset
 
-from .ref_compile import build_and_run, build_and_run_full, have_gcc, have_glib
+from .ref_compile import build_and_run, build_and_run_full, have_gcc
 
 pytestmark = pytest.mark.skipif(not have_gcc(), reason="gcc not available")
 

@@ -21,7 +21,7 @@ from flash_viterbi_tpu.oracle import reference as oref
 from flash_viterbi_tpu.oracle.sieve import sieve_dynamic, sieve_mp
 from flash_viterbi_tpu.utils.io import save_dataset
 
-from .ref_compile import build_and_run, have_gcc
+from .ref_compile import build_and_run, have_gcc, have_glib
 
 REF_PY = "/root/reference/Base_line/Python implementations"
 
@@ -81,6 +81,32 @@ def test_sieve_mp_close_to_vanilla(small_problem):
     s = sieve_mp(hmm.A, hmm.B, hmm.Pi, y, numerics="c")
     assert _loglik(hmm, y, s) <= _loglik(hmm, y, v) + 1e-6
     assert (v == s).mean() > 0.85  # only quirk positions may differ
+
+
+@pytest.mark.skipif(not (have_gcc() and have_glib()),
+                    reason="gcc or glib/shim not available")
+@pytest.mark.parametrize("K,M,T,prob,seed,bw", [
+    (48, 8, 24, 0.25, 3, 8),
+    (64, 12, 32, 0.3, 7, 16),
+    (32, 6, 17, 0.4, 1, 4),
+])
+@pytest.mark.parametrize("name", ["sieve_bs", "sieve_bs_mp"])
+def test_sieve_bs_c_bit_parity(tmp_path, name, K, M, T, prob, seed, bw):
+    """Oracles vs the compiled reference C binaries (built against real
+    glib or the vendored csrc/glibshim header) — closes the parity chain
+    that previously stopped at the reference Python."""
+    from flash_viterbi_tpu.oracle.sieve_bs import sieve_bs, sieve_bs_mp
+
+    oracle = {"sieve_bs": sieve_bs, "sieve_bs_mp": sieve_bs_mp}[name]
+    hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+    d = tmp_path / "data"; d.mkdir()
+    w = tmp_path / "work"; w.mkdir()
+    save_dataset(str(d), hmm, y, prob=prob)
+    cpath = build_and_run(name, str(w), K, M, T, prob, str(d), beam=bw)
+    pairs = oracle(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+    flat = np.asarray([pairs[0][0], pairs[0][1]] + [p[1] for p in pairs[1:]])
+    assert len(flat) == len(cpath)
+    np.testing.assert_array_equal(cpath, flat)
 
 
 def _load_ref_module(name):
