@@ -73,6 +73,55 @@ def marginal_time(make_chain, k1: int = 1, k2: int = 5, reps: int = 3) -> float:
     return max((run(f2) - run(f1)) / (k2 - k1), 1e-9)
 
 
+# Above these state counts the numpy/dict mirrors are too slow for a bench
+# loop; rows then fall back to a kernel-vs-XLA self-check (labelled so the
+# CSV never has an empty parity cell).
+_MIRROR_MAX_K = {"sieve_mp": 1024, "sieve_bs": 512, "sieve_bs_mp": 512}
+
+
+def _parity(cfg, hmm, y, path, dec, tables):
+    """Check the decoded path against the algorithm's mirror.
+
+    Returns True/False for a mirror comparison, or "self:True"/"self:False"
+    for the large-K kernel-vs-XLA fallback.
+    """
+    import jax
+
+    from ..oracle import framework as fw
+    from ..oracle import native as oracle
+
+    alg = cfg.algorithm
+    bw = cfg.beam_width or 64
+    if alg in ("vanilla", "checkpoint", "flash", "fused"):
+        want = oracle.vanilla(hmm.A, hmm.B, hmm.Pi, y)
+        return bool((path == want).all())
+    if alg == "flash_bs":
+        want = fw.flash_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw,
+                           num_segments=cfg.num_segments)
+        return bool((path == np.asarray(want)[: cfg.T]).all())
+    if alg == "beam":
+        want = fw.beam(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+        return bool((path == np.asarray(want)[: cfg.T]).all())
+    if alg in _MIRROR_MAX_K and cfg.K <= _MIRROR_MAX_K[alg]:
+        if alg == "sieve_mp":
+            from ..oracle.sieve import sieve_mp
+            want = sieve_mp(hmm.A, hmm.B, hmm.Pi, y, numerics="f32")
+            return bool((path == np.asarray(want)[: cfg.T]).all())
+        from ..oracle.sieve_bs import sieve_bs, sieve_bs_mp
+        pairs = (sieve_bs if alg == "sieve_bs" else sieve_bs_mp)(
+            hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+        flat = np.asarray([pairs[0][0], pairs[0][1]] + [p[1] for p in pairs[1:]])
+        n = min(len(flat), cfg.T)
+        return bool((path[:n] == flat[:n]).all())
+    # large-K fallback: the same algorithm on the pure-XLA path must agree
+    from .. import build
+    alt = build(alg, use_pallas=False,
+                **{k: v for k, v in dec.static.items() if k != "use_pallas"})
+    runner = jax.jit(alt) if alt.jittable else alt
+    alt_path = np.asarray(runner(*tables))[: cfg.T]
+    return f"self:{bool((path == alt_path).all())}"
+
+
 def run_one(cfg: RunConfig) -> dict:
     import jax
     import jax.numpy as jnp
@@ -123,14 +172,26 @@ def run_one(cfg: RunConfig) -> dict:
 
         return call
 
-    wall = marginal_time(make_chain)
-    path = np.asarray(jax.jit(dec)(logA, logB, logPi0, yd))[: cfg.T]
+    if dec.jittable:
+        wall = marginal_time(make_chain)
+        runner = jax.jit(dec)
+    else:
+        # host-driven decoders (sieve_bs) synchronize per node readback;
+        # plain repeated wall timing is honest for them
+        runner = dec
+        runner(logA, logB, logPi0, yd)  # warm the per-length jit caches
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            runner(logA, logB, logPi0, yd)
+            walls.append(time.perf_counter() - t0)
+        wall = float(np.median(walls))
+    path = np.asarray(runner(logA, logB, logPi0, yd))[: cfg.T]
 
     parity = ""
-    if cfg.check_parity and cfg.algorithm in ("vanilla", "checkpoint", "flash",
-                                              "fused"):
-        want = oracle.vanilla(hmm.A, hmm.B, hmm.Pi, y)
-        parity = bool((path == want).all())
+    if cfg.check_parity:
+        parity = _parity(cfg, hmm, y, path, dec,
+                         (logA, logB, logPi0, yd))
 
     return {
         "timestamp": datetime.now().strftime("%Y%m%d_%H%M%S"),

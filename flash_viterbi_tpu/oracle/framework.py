@@ -113,3 +113,35 @@ def flash_bs(A, B_mat, Pi, y, beam_width: int, num_segments: int = 8) -> np.ndar
             path[t] = hist[t][sl]
         out[L : R + 1] = path
     return out
+
+
+def beam(A, B_mat, Pi, y, beam_width: int) -> np.ndarray:
+    """Mirror of ``algorithms.beam.beam_decode`` (plain beam Viterbi with
+    full beam-history tables; emission added after the max, fp32)."""
+    logA, logB, logPi = _tables(A, B_mat, Pi)
+    K = logA.shape[0]
+    y = np.asarray(y, dtype=np.int64)
+    T = len(y)
+    Bw = min(int(beam_width), K)
+
+    full0 = (logPi + logB[:, y[0]]).astype(np.float32)
+    vals, states = topk(full0, Bw)
+    states_hist = [states]
+    slot_ptrs = []
+    for t in range(1, T):
+        scores = (vals[:, None] + logA[states]).astype(np.float32)
+        full = (scores.max(axis=0) + logB[:, y[t]]).astype(np.float32)
+        slot = scores.argmax(axis=0)
+        nv, ns = topk(full, Bw)
+        slot_ptrs.append(slot[ns])
+        states_hist.append(ns)
+        vals, states = nv, ns
+
+    s = 0  # beam is score-sorted: slot 0 is the best end state
+    slots = [0]
+    for ptr in reversed(slot_ptrs):
+        s = int(ptr[s])
+        slots.append(s)
+    slots = slots[::-1]
+    return np.asarray([states_hist[t][slots[t]] for t in range(T)],
+                      dtype=np.int64)

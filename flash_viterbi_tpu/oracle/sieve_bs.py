@@ -46,32 +46,72 @@ import numpy as np
 __all__ = ["build_adjacency", "sieve_bs", "sieve_bs_mp", "beam_search"]
 
 
-def build_adjacency(A, B, Pi=None):
+class _LazyAcoustic:
+    """Dict-compatible view of one symbol's acoustic costs:
+    ``.get((j, i), default)`` == ``log B[i, m]`` when ``B[i, m] > 0`` —
+    the semantics of the reference's M*K^2 cross-product dict
+    (``Baseline.py:140-160``) without materializing it (786M entries at
+    the headline K=3965/M=50; this is what makes the ``compare`` harness
+    runnable at headline configs)."""
+
+    __slots__ = ("logb", "pos")
+
+    def __init__(self, logb_col, pos_col):
+        self.logb = logb_col
+        self.pos = pos_col
+
+    def get(self, key, default=0.0):
+        i = key[1]
+        return float(self.logb[i]) if self.pos[i] else default
+
+    def __contains__(self, key):
+        return bool(self.pos[key[1]])
+
+    def __getitem__(self, key):
+        if not self.pos[key[1]]:
+            raise KeyError(key)
+        return float(self.logb[key[1]])
+
+    def keys(self):
+        return self  # membership tests only (the reference's usage)
+
+
+def build_adjacency(A, B, Pi=None, lazy: bool = True):
     """Edge lists + acoustic dicts, exactly as ``Baseline.py:140-160``.
 
     Returns (pi_log, A_out, A_in, acoustic) where ``A_out[i]`` is a list of
     ``(j, log A[i,j])`` in ascending j, and ``acoustic[m][(j, i)]`` is
-    ``log B[i, m]`` for every j (the reference materializes the full cross
-    product; kept for faithfulness — tests use small K).
+    ``log B[i, m]``.  ``lazy=True`` (the default for oracle decoding)
+    returns :class:`_LazyAcoustic` views instead of the reference's
+    materialized cross-product; ``lazy=False`` reproduces the real dicts
+    (needed when feeding the *reference class itself* in tests).
     """
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
     K, M = B.shape
     A_in = [[] for _ in range(K)]
     A_out = [[] for _ in range(K)]
-    acoustic = [{} for _ in range(M)]
+    with np.errstate(divide="ignore"):
+        logA = np.log(A)
     for i in range(K):
-        for j in range(K):
-            if A[i][j] != 0:
-                w = np.log(A[i][j])
-                A_in[j].append((i, w))
-                A_out[i].append((j, w))
-    for i in range(K):
-        for m in range(M):
-            if B[i][m] != 0:
-                w = np.log(B[i][m])
-                for j in range(K):
-                    acoustic[m][(j, i)] = w
+        (js,) = np.nonzero(A[i])
+        for j in js:
+            w = logA[i, j]
+            A_in[j].append((i, w))
+            A_out[i].append((j, w))
+    if lazy:
+        with np.errstate(divide="ignore"):
+            logB = np.log(B)
+        pos = B > 0
+        acoustic = [_LazyAcoustic(logB[:, m], pos[:, m]) for m in range(M)]
+    else:
+        acoustic = [{} for _ in range(M)]
+        for i in range(K):
+            for m in range(M):
+                if B[i][m] != 0:
+                    w = np.log(B[i][m])
+                    for j in range(K):
+                        acoustic[m][(j, i)] = w
     pi = np.full(K, np.log(1.0 / K)) if Pi is None else np.log(np.asarray(Pi, dtype=np.float64))
     return pi, A_out, A_in, acoustic
 

@@ -1,0 +1,92 @@
+"""Multi-host scaffolding: ``jax.distributed`` init + DCN-aware meshes.
+
+The reference is single-process by construction (pthread shared memory,
+SURVEY.md §2.7).  The TPU-native growth path past one host is the SAME
+``shard_map`` program (``parallel.sharded``) over a *global* mesh; the
+only new concerns are (a) initializing the distributed runtime and (b)
+laying the mesh out so the chatty axes stay on ICI:
+
+* ``state`` — two K-vector all_gathers per trellis step: must NEVER cross
+  a process/slice boundary (DCN latency per step would dominate).
+* ``seq``   — one (mb, K) delta ppermute per pipeline *block* (thousands
+  of steps apart) + the final path psum: tolerates DCN, prefers ICI.
+* ``data``  — zero cross-device traffic: the axis that should span hosts.
+
+:func:`make_global_mesh` therefore sorts devices by process and assigns
+them (data-major) so each (seq, state) plane is process-local whenever
+the per-process device count allows, and verifies it — refusing silently
+DCN-crossing state axes unless ``allow_dcn_state=True``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+from .sharded import AXES
+
+_initialized = False
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> bool:
+    """Join the jax.distributed runtime; returns True if multi-process.
+
+    No-op (returns False) for single-process runs, so callers can use it
+    unconditionally.  On TPU pods the arguments are auto-detected; for
+    CPU/GPU test rigs pass them explicitly.
+    """
+    global _initialized
+    if num_processes in (None, 1) and coordinator_address is None:
+        return False
+    if not _initialized:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        _initialized = True
+    return True
+
+
+def make_global_mesh(n_data: int | None = None, n_seq: int = 1,
+                     n_state: int = 1, allow_dcn_state: bool = False) -> Mesh:
+    """(data, seq, state) mesh over ALL processes' devices, data-major.
+
+    Devices are ordered by (process_index, id); the data axis is the
+    outermost, so process boundaries fall across ``data`` whenever
+    n_seq*n_state divides the per-process device count — the seq/state
+    collectives then ride ICI only.
+    """
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    n = len(devs)
+    inner = n_seq * n_state
+    if n_data is None:
+        if n % inner:
+            raise ValueError(f"{n} devices not divisible by seq*state={inner}")
+        n_data = n // inner
+    if n_data * inner != n:
+        raise ValueError(f"mesh {n_data}x{n_seq}x{n_state} != {n} devices")
+    arr = np.asarray(devs, dtype=object).reshape(n_data, n_seq, n_state)
+    if not allow_dcn_state and jax.process_count() > 1:
+        for d in range(n_data):
+            procs = {dev.process_index for dev in arr[d].ravel()}
+            if len(procs) > 1:
+                raise ValueError(
+                    f"(seq, state) plane {d} spans processes {sorted(procs)}: "
+                    "per-step state collectives would cross DCN.  Shrink "
+                    "seq*state to the per-process device count or pass "
+                    "allow_dcn_state=True.")
+    return Mesh(arr, AXES)
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """Rows of the global (Bs, T) batch owned by this process under the
+    data-major layout (data axis split across processes first)."""
+    p = jax.process_index()
+    n = jax.process_count()
+    per = global_batch // n
+    return slice(p * per, (p + 1) * per)

@@ -1,0 +1,76 @@
+"""Worker process for the 2-process DCN-style CPU test (test_multihost.py).
+
+Each process owns 2 virtual CPU devices; the two processes form a
+(2, 2, 1) global mesh with the data axis across the process (DCN)
+boundary and seq inside each process — the layout make_global_mesh
+guarantees.  Runs the SAME pipelined shard_map decode as single-chip and
+checks this process's batch shard against a locally computed single-chip
+reference, writing an ok-file on success (the parent asserts both).
+"""
+
+import os
+import sys
+
+
+def main():
+    port, pid, nproc, outdir = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    # distributed init must precede anything that touches the backend
+    # (including importing modules that enumerate devices)
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nproc, process_id=pid)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.algorithms.flash import flash_decode
+    from flash_viterbi_tpu.models.generate import make_sparse_hmm
+    from flash_viterbi_tpu.parallel import multihost
+    from flash_viterbi_tpu.parallel.sharded import flash_decode_sharded
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 2 * nproc
+
+    mesh = multihost.make_global_mesh(n_data=nproc, n_seq=2, n_state=1)
+
+    hmm, y = make_sparse_hmm(K=64, M=8, T=32, prob=0.3, seed=7)
+    lh = hmm.log()
+    logA = jnp.asarray(lh.logA)
+    logB = jnp.asarray(lh.logB)
+    logPi = jnp.asarray(lh.logPi)
+    y_np = np.asarray(y, np.int32)
+    rng = np.random.RandomState(0)
+    ys_np = np.stack([y_np, rng.randint(0, hmm.M, size=len(y_np)).astype(np.int32),
+                      y_np[::-1].copy(), (y_np + 1) % hmm.M])
+
+    # global (4, T) batch: each process materializes it fully and the mesh
+    # sharding splits rows over the data axis (process-spanning)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data", None))
+    ys = jax.make_array_from_callback(
+        ys_np.shape, sharding,
+        lambda idx: ys_np[idx])
+
+    out = flash_decode_sharded(mesh, logA, logB, logPi, ys,
+                               num_segments=4, pipeline=True)
+
+    # check the locally addressable rows against a single-chip decode
+    for shard in out.addressable_shards:
+        rows = range(*shard.index[0].indices(4))
+        for j, b in enumerate(rows):
+            ref = np.asarray(flash_decode(logA, logB, logPi,
+                                          jnp.asarray(ys_np[b]),
+                                          num_segments=4, use_pallas=False))
+            got = np.asarray(shard.data)[j]
+            assert (got == ref).all(), (b, got[:8], ref[:8])
+
+    with open(os.path.join(outdir, f"ok_{pid}"), "w") as f:
+        f.write("ok")
+
+
+if __name__ == "__main__":
+    main()

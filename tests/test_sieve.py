@@ -131,7 +131,7 @@ def test_sieve_bs_matches_reference_python(K, M, T, prob, seed, bw):
 
     hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
     SIEVE_BEAMSEARCH = _load_ref_module("sieve_beam_search")
-    pi, A_out, A_in, ac = build_adjacency(hmm.A, hmm.B)
+    pi, A_out, A_in, ac = build_adjacency(hmm.A, hmm.B, lazy=False)
     idx = list(range(K))
 
     for method, ours in (("viterbi_space_efficient", sieve_bs),
@@ -157,7 +157,7 @@ def test_beam_search_matches_reference_python():
     hmm, _ = make_sparse_hmm(K=K, M=T, T=T, prob=0.25, seed=3)
     y = np.arange(T)
     SIEVE_BEAMSEARCH = _load_ref_module("sieve_beam_search")
-    pi, A_out, A_in, ac = build_adjacency(hmm.A, hmm.B)
+    pi, A_out, A_in, ac = build_adjacency(hmm.A, hmm.B, lazy=False)
     bs = SIEVE_BEAMSEARCH(pi, A_out, A_in, ac, bw)
     wpath, wll, _ = bs.beam_search(list(range(K)), frames=list(y),
                                    Pi={i: pi[i] for i in range(K)})
