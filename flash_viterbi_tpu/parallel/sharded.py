@@ -192,18 +192,35 @@ def _flash_decode_pipelined(mesh, logA, logBT, logPi, ys, L: int, spd: int,
                  jnp.zeros((mb, spd - 1, K), jnp.int32)], axis=1)
 
             if use_kernel and n_state == 1:
-                for c0 in range(1, L, _CHUNK):
-                    c1 = min(c0 + _CHUNK, L)
-                    sym = ys_blk[:, c0:c1]  # (mb, c)
-                    emits = jnp.transpose(logBT_l[sym], (1, 0, 2))  # (c, mb, K)
+                def fold_chunk(pl_, x):
+                    row, rec = x
+                    return fold_one(pl_, row, rec), None
+
+                def run_chunk(carry, c0):
+                    dd, pl_ = carry
+                    sym = jax.lax.dynamic_slice(ys_blk, (0, c0), (mb, _CHUNK))
+                    emits = jnp.transpose(logBT_l[sym], (1, 0, 2))  # (C, mb, K)
+                    dd, ptrs = maxplus_scan(logA_l, emits, dd, interpret=interpret)
+                    rec = jax.lax.dynamic_slice(rec_sched, (c0 - 1, 0),
+                                                (_CHUNK, spd))
+                    pl_, _ = jax.lax.scan(fold_chunk, pl_, (ptrs, rec))
+                    return (dd, pl_), None
+
+                n_full = (L - 1) // _CHUNK
+                if n_full:
+                    # uniform full chunks under ONE scan — a single kernel
+                    # instruction in the trace regardless of T
+                    (d, planes), _ = jax.lax.scan(
+                        run_chunk, (d, planes),
+                        1 + _CHUNK * jnp.arange(n_full))
+                rem = (L - 1) - n_full * _CHUNK
+                if rem:
+                    c0 = 1 + n_full * _CHUNK
+                    sym = ys_blk[:, c0:c0 + rem]
+                    emits = jnp.transpose(logBT_l[sym], (1, 0, 2))
                     d, ptrs = maxplus_scan(logA_l, emits, d, interpret=interpret)
-
-                    def fold_chunk(pl_, x):
-                        row, rec = x
-                        return fold_one(pl_, row, rec), None
-
                     planes, _ = jax.lax.scan(
-                        fold_chunk, planes, (ptrs, rec_sched[c0 - 1:c1 - 1]))
+                        fold_chunk, planes, (ptrs, rec_sched[c0 - 1:c0 - 1 + rem]))
             else:
                 def stepf(carry, x):
                     dd, pl_ = carry
@@ -276,15 +293,30 @@ def _flash_decode_pipelined(mesh, logA, logBT, logPi, ys, L: int, spd: int,
                   + ag(logBT_l[sym0]))
 
             if use_kernel and n_state == 1:
-                chunks = []
+                # chunk bound: keep the gathered emissions transient <= 64 MB
+                Cp2 = min(_CHUNK, max(8, (64 * 1024 * 1024) // (NL * K * 4)))
+                sym_all = seg_sym.reshape(NL, Lseg)
+
+                def run_chunk2(dd, c0):
+                    sym = jax.lax.dynamic_slice(sym_all, (0, c0), (NL, Cp2))
+                    emits = jnp.transpose(logBT_l[sym], (1, 0, 2))
+                    return maxplus_scan(logA_l, emits, dd, interpret=interpret)
+
+                parts = []
                 d = d0
-                for c0 in range(1, Lseg, _CHUNK):
-                    c1 = min(c0 + _CHUNK, Lseg)
-                    sym = seg_sym[:, :, c0:c1].reshape(NL, c1 - c0)
+                n_full = (Lseg - 1) // Cp2
+                if n_full:
+                    d, stacked = jax.lax.scan(run_chunk2, d,
+                                              1 + Cp2 * jnp.arange(n_full))
+                    parts.append(stacked.reshape(n_full * Cp2, NL, K))
+                rem = (Lseg - 1) - n_full * Cp2
+                if rem:
+                    c0 = 1 + n_full * Cp2
+                    sym = sym_all[:, c0:c0 + rem]
                     emits = jnp.transpose(logBT_l[sym], (1, 0, 2))
                     d, ptrs = maxplus_scan(logA_l, emits, d, interpret=interpret)
-                    chunks.append(ptrs)
-                ptrs = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+                    parts.append(ptrs)
+                ptrs = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
             else:
                 syms = jnp.transpose(seg_sym[:, :, 1:].reshape(NL, Lseg - 1))
                 _, ptrs = jax.lax.scan(
