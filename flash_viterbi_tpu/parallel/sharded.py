@@ -316,13 +316,22 @@ def _flash_decode_pipelined(mesh, logA, logBT, logPi, ys, L: int, spd: int,
                     emits = jnp.transpose(logBT_l[sym], (1, 0, 2))
                     d, ptrs = maxplus_scan(logA_l, emits, d, interpret=interpret)
                     parts.append(ptrs)
-                ptrs = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
             else:
                 syms = jnp.transpose(seg_sym[:, :, 1:].reshape(NL, Lseg - 1))
                 _, ptrs = jax.lax.scan(
                     lambda dd, sym: step_local(dd, sym), d0, syms)
+                parts = [ptrs]
 
-            paths = jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, exits)
+            # backtrack part-wise, chaining boundary states — never
+            # concatenates the (multi-GB at config-5 scale) pointer tables
+            state = exits
+            pieces = []
+            for ptr_part in reversed(parts):
+                walked = jax.vmap(mp.backtrack, in_axes=(1, 0))(ptr_part, state)
+                pieces.append(walked[:, 1:])
+                state = walked[:, 0]
+            pieces.append(state[:, None])
+            paths = jnp.concatenate(pieces[::-1], axis=1)  # (NL, Lseg)
             vals = paths.reshape(mb, L)
             out = jax.lax.dynamic_update_slice(
                 jnp.zeros((mb, T), jnp.int32), vals, (0, r * L))
