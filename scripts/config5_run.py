@@ -1,0 +1,86 @@
+"""Config-5-shaped end-to-end run on ONE chip (VERDICT round-1 item 1).
+
+batch 8 x K=16384 x T=65536 through ``flash_decode_sharded`` on a (1,1,1)
+mesh — the full sharded code path (pipelined phase 1 + chunked
+fused-kernel phase 2, emissions gathered from the (M, K) table, part-wise
+backtrack) at the BASELINE north-star per-chip shape.  Validation:
+``checkpoint`` decodes two of the batch's sequences independently and the
+paths must match bit-for-bit.
+
+Run:  nohup python scripts/config5_run.py > results/config5.log 2>&1 &
+(one TPU process at a time; takes ~1 h: two full timed runs + validation)
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from flash_viterbi_tpu.algorithms.checkpoint import checkpoint_decode_pallas
+from flash_viterbi_tpu.models.generate import make_sparse_hmm
+from flash_viterbi_tpu.parallel.sharded import flash_decode_sharded, make_mesh
+
+K, M, T, BATCH = 16384, 50, 65536, 8
+PROB, SEED = 0.112, 1
+N_SEGMENTS = 4  # spd on the single chip; bounds per-segment pointer tables
+
+
+def main():
+    print(jax.devices(), flush=True)
+    t0 = time.time()
+    hmm, y0 = make_sparse_hmm(K=K, M=M, T=T, prob=PROB, seed=SEED)
+    lh = hmm.log()
+    print(f"generated K={K} T={T} in {time.time()-t0:.1f}s", flush=True)
+
+    logA = jnp.asarray(lh.logA)
+    logB = jnp.asarray(lh.logB)
+    logPi = jnp.asarray(lh.logPi)
+    rng = np.random.RandomState(7)
+    ys_np = np.stack([np.asarray(y0, np.int32)]
+                     + [rng.randint(0, M, size=T).astype(np.int32)
+                        for _ in range(BATCH - 1)])
+    ys = jnp.asarray(ys_np)
+    mesh = make_mesh(1, 1, 1)
+
+    def run():
+        out = flash_decode_sharded(mesh, logA, logB, logPi, ys,
+                                   num_segments=N_SEGMENTS, pipeline=True)
+        # scalar readback forces a real sync through the tunnel
+        head = int(np.asarray(out[:, :8]).sum())
+        return out, head
+
+    t0 = time.time()
+    out, _ = run()
+    t_first = time.time() - t0
+    print(f"run 1 (compile + execute): {t_first:.1f}s", flush=True)
+
+    t0 = time.time()
+    out, _ = run()
+    wall = time.time() - t0
+    updates = 2.0 * BATCH * (T - 1) * K * K  # both passes actually executed
+    eff_updates = 1.0 * BATCH * (T - 1) * K * K  # decoded trellis cells
+    print(json.dumps({
+        "config": f"batch{BATCH}xK{K}xT{T}",
+        "wall_s": wall,
+        "kernel_updates_per_s": updates / wall,
+        "decode_updates_per_s": eff_updates / wall,
+    }), flush=True)
+
+    # validation: independent checkpoint decode of two sequences
+    for b in (0, BATCH - 1):
+        t0 = time.time()
+        ref = checkpoint_decode_pallas(logA, logB, logPi, jnp.asarray(ys_np[b]))
+        ref = np.asarray(ref)
+        got = np.asarray(out[b])
+        match = bool((got == ref).all())
+        print(json.dumps({"validate_seq": b, "match": match,
+                          "wall_s": time.time() - t0}), flush=True)
+        assert match, f"sequence {b} mismatch"
+    print("CONFIG5 OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
