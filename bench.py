@@ -52,28 +52,32 @@ def main() -> None:
     logPi0 = jnp.asarray(lh.logPi)
     yd = jnp.asarray(y, jnp.int32)
 
-    from functools import partial
-
     # arrays are explicit jit arguments (closed-over constants get embedded
-    # in the remote-compile payload and overflow its size limit at large K)
-    @partial(jax.jit, static_argnames="k")
+    # in the remote-compile payload and overflow its size limit at large K);
+    # the chain length is a traced fori_loop bound so all k share ONE
+    # compiled program (remote compiles cost minutes)
+    @jax.jit
     def chain(logA, logB, logPi, yd, k):
-        p = None
-        for _ in range(k):
+        def body(_, carry):
+            _p, logPi = carry
             p = flash_decode(logA, logB, logPi, yd, num_segments=8)
             # data dependency that provably cannot change logPi's bits
             logPi = logPi + p[0].astype(jnp.float32) * jnp.float32(1e-30)
+            return (p.astype(jnp.int32), logPi)
+
+        p0 = jnp.zeros((yd.shape[0],), jnp.int32)
+        p, _ = jax.lax.fori_loop(0, k, body, (p0, logPi))
         return p
 
-    path = np.asarray(chain(logA, logB, logPi0, yd, k=K1))  # compile + sample
-    int(chain(logA, logB, logPi0, yd, k=K2)[0])  # compile
+    path = np.asarray(chain(logA, logB, logPi0, yd, K1))  # compile + sample
+    int(chain(logA, logB, logPi0, yd, K2)[0])  # cached (same program)
 
     def run(k, reps=3):
         ts = []
         for i in range(reps):
             arg = logPi0 + jnp.float32(i) * jnp.float32(1e-30)
             t0 = time.perf_counter()
-            int(chain(logA, logB, arg, yd, k=k)[0])  # readback = real sync
+            int(chain(logA, logB, arg, yd, k)[0])  # readback = real sync
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 

@@ -154,27 +154,33 @@ def run_one(cfg: RunConfig) -> dict:
     logPi0 = jnp.asarray(lh.logPi)
     yd = jnp.asarray(y, jnp.int32)
 
-    from functools import partial
-
     # arrays as explicit jit args: closed-over constants are embedded in
-    # the remote-compile payload and overflow its limit at large K
-    @partial(jax.jit, static_argnames="k")
+    # the remote-compile payload and overflow its limit at large K.
+    # The chain length is a TRACED fori_loop bound so every k shares ONE
+    # compiled program — remote compiles are minutes each, so this is the
+    # difference between a bench row costing 1 compile and 3.
+    @jax.jit
     def _chain(logA, logB, logPi, yd, k):
-        p = None
-        for _ in range(k):
+        def body(_, carry):
+            p_prev, logPi = carry
             p = dec(logA, logB, logPi, yd)
+            # data dependency that provably cannot change logPi's bits
             logPi = logPi + p[0].astype(jnp.float32) * jnp.float32(1e-30)
+            return (p.astype(jnp.int32), logPi)
+
+        p0 = jnp.zeros((yd.shape[-1],), jnp.int32)
+        p, _ = jax.lax.fori_loop(0, k, body, (p0, logPi))
         return p
 
     def make_chain(k):
         def call():
-            return _chain(logA, logB, logPi0, yd, k=k)
+            return _chain(logA, logB, logPi0, yd, jnp.asarray(k, jnp.int32))
 
         return call
 
     if dec.jittable:
         wall = marginal_time(make_chain)
-        runner = jax.jit(dec)
+        runner = lambda *a: make_chain(1)()  # same compiled chain program
     else:
         # host-driven decoders (sieve_bs) synchronize per node readback;
         # plain repeated wall timing is honest for them
