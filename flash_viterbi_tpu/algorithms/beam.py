@@ -16,25 +16,38 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.pallas.beam import beam_kernel_supported, beam_scan
 from .base import Decoder, register
 from .flash_bs import beam_step, beam_topk
 
 
-def beam_decode(logA, logB, logPi, y, beam_width: int):
+def beam_decode(logA, logB, logPi, y, beam_width: int,
+                use_pallas: bool | str = "auto"):
     T = y.shape[0]
-    B = min(int(beam_width), int(logA.shape[0]))  # clamp: beam cannot exceed K
+    K = int(logA.shape[0])
+    B = min(int(beam_width), K)  # clamp: beam cannot exceed K
     emits = logB[:, y].T  # (T, K)
     vals0, states0 = beam_topk(logPi + emits[0], B)
 
-    def step(carry, emit):
-        vals, states = carry
-        full, slot = beam_step(vals, states, logA, emit)
-        nv, ns = beam_topk(full, B)
-        return (nv, ns), (ns, slot[ns])
+    if use_pallas == "auto":
+        use_pallas = (jax.default_backend() == "tpu"
+                      and beam_kernel_supported(K, B))
+    if use_pallas:
+        from .flash import _pallas_interpret
 
-    (_, _), (states_hist, slot_ptrs) = jax.lax.scan(step, (vals0, states0),
-                                                    emits[1:])
-    states_hist = jnp.concatenate([states0[None], states_hist])  # (T, B)
+        hist, slot_ptrs = beam_scan(logA, emits[1:], vals0, states0,
+                                    interpret=_pallas_interpret())
+        states_hist = jnp.concatenate([states0[None], hist])  # (T, B)
+    else:
+        def step(carry, emit):
+            vals, states = carry
+            full, slot = beam_step(vals, states, logA, emit)
+            nv, ns = beam_topk(full, B)
+            return (nv, ns), (ns, slot[ns])
+
+        (_, _), (states_hist, slot_ptrs) = jax.lax.scan(step, (vals0, states0),
+                                                        emits[1:])
+        states_hist = jnp.concatenate([states0[None], states_hist])  # (T, B)
 
     end_slot = jnp.asarray(0, jnp.int32)  # beam is score-sorted: slot 0 best
 
@@ -54,8 +67,11 @@ def _memory(K: int, T: int, beam_width: int = 64, **_) -> int:
 
 
 @register("beam")
-def _build(beam_width: int = 64, **static) -> Decoder:
+def _build(beam_width: int = 64, use_pallas: bool | str = "auto",
+           **static) -> Decoder:
     def fn(logA, logB, logPi, y):
-        return beam_decode(logA, logB, logPi, y, beam_width=beam_width)
+        return beam_decode(logA, logB, logPi, y, beam_width=beam_width,
+                           use_pallas=use_pallas)
 
-    return Decoder("beam", fn, {"beam_width": beam_width, **static}, _memory)
+    return Decoder("beam", fn, {"beam_width": beam_width,
+                                "use_pallas": use_pallas, **static}, _memory)

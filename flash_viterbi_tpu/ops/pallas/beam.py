@@ -1,0 +1,133 @@
+"""Fused Pallas beam-scan kernel: the whole top-B forward recursion in one
+``pallas_call``.
+
+The XLA beam step (``algorithms/flash_bs.beam_step``) is latency-bound,
+not bandwidth-bound: per trellis step it pays a row gather (B rows =
+~1 MB at K=4096, ~1.2 us at HBM speed), a (B, K) reduce and a ``top_k``
+as separate fused loops with XLA's per-op scheduling — ~10-14 us/step
+measured.  This kernel keeps the entire time loop on-chip:
+
+* grid = (T-1,); TPU grids run sequentially, so the beam (values in VMEM,
+  state ids in SMEM) carries across steps in scratch;
+* the B beam rows of ``logA`` stay in HBM (``memory_space=ANY``) and are
+  fetched per step with B concurrent dynamic-row DMAs — the only HBM
+  traffic (B*K*4 bytes/step vs the dense kernel's K*K*4);
+* top-B selection is B iterations of masked max + lowest-index extract
+  (exactly ``jax.lax.top_k``'s descending, index-stable order — the
+  "taken" mask keeps indices distinct even among -inf ties);
+* per-step outputs are the beam history (T-1, B) state ids and the
+  winning-slot pointers (T-1, B) — the O(T*B) beam memory contract.
+
+This is the TPU analog of the reference FPGA's dual-heap ping-pong
+(HEAP_1/HEAP_2 + HEAP_SELECT units, SURVEY.md §2.5 row 17): the heap is
+replaced by a sorted beam register file selected on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = float("-inf")  # python scalar: kernels may not capture traced constants
+
+
+def _beam_scan_kernel(vals0_ref, states0_ref, emits_ref, logA_hbm,
+                      hist_ref, slots_ref,
+                      vals_s, states_s, rows_buf, sems,
+                      *, B: int, K: int):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        vals_s[:] = vals0_ref[:]          # (B, 1) f32
+        states_s[0, :] = states0_ref[0, :]  # (1, B) int32 SMEM
+
+    # fetch the B beam rows concurrently (dynamic row index from SMEM)
+    for b in range(B):
+        pltpu.make_async_copy(logA_hbm.at[states_s[0, b]],
+                              rows_buf.at[b], sems.at[b]).start()
+    for b in range(B):
+        pltpu.make_async_copy(logA_hbm.at[states_s[0, b]],
+                              rows_buf.at[b], sems.at[b]).wait()
+
+    tmp = vals_s[:] + rows_buf[:]         # (B, K)
+    maxv = jnp.max(tmp, axis=0, keepdims=True)          # (1, K)
+    iotaB = jax.lax.broadcasted_iota(jnp.int32, (B, K), 0)
+    slot = jnp.min(jnp.where(tmp == maxv, iotaB, B), axis=0, keepdims=True)
+    full = maxv + emits_ref[:]            # (1, K)
+
+    # top-B extraction: masked max + lowest-index, distinct via `taken`
+    iotaK = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    taken = jnp.zeros((1, K), jnp.bool_)
+    for b in range(B):
+        masked = jnp.where(taken, NEG, full)
+        m = jnp.max(masked)
+        cand = jnp.where(jnp.logical_and(masked == m,
+                                         jnp.logical_not(taken)), iotaK, K)
+        idx = jnp.min(cand)
+        taken = jnp.logical_or(taken, iotaK == idx)
+        states_s[0, b] = idx
+        vals_s[b, 0] = m
+        hist_ref[0, 0, b] = idx
+        # winning old-beam slot of this new beam entry: slot[idx]
+        slots_ref[0, 0, b] = jnp.min(jnp.where(iotaK == idx, slot, B))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def beam_scan(logA, emits, vals0, states0, interpret: bool = False):
+    """Run the fused beam forward scan.
+
+    Args:
+      logA:   (K, K) fp32 (stays in HBM; rows DMA'd on demand).
+      emits:  (T', K) fp32 log emission rows for steps 1..T'.
+      vals0:  (B,) fp32 initial beam scores (descending).
+      states0:(B,) int32 initial beam states.
+
+    Returns:
+      (hist (T', B) int32 beam states per step,
+       slots (T', B) int32 winning previous-beam slot per new entry).
+    """
+    Tm, K = emits.shape
+    B = vals0.shape[0]
+    kernel = functools.partial(_beam_scan_kernel, B=B, K=K)
+    hist, slots = pl.pallas_call(
+        kernel,
+        grid=(Tm,),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # logA stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tm, 1, B), jnp.int32),
+            jax.ShapeDtypeStruct((Tm, 1, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, 1), jnp.float32),   # beam values
+            pltpu.SMEM((1, B), jnp.int32),     # beam state ids
+            pltpu.VMEM((B, K), jnp.float32),   # gathered rows
+            pltpu.SemaphoreType.DMA((B,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tm * B * K,
+            bytes_accessed=Tm * (B * K * 4 + K * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(vals0[:, None], states0[None, :], emits, logA)
+    return hist[:, 0, :], slots[:, 0, :]
+
+
+def beam_kernel_supported(K: int, B: int) -> bool:
+    """Lane-gather and VMEM bounds: beam fits one vreg's lanes; row DMAs
+    need lane-aligned K; the (B, K) row buffer must fit VMEM comfortably."""
+    return B <= 128 and K % 128 == 0 and B * K * 4 <= 8 * 1024 * 1024

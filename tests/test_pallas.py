@@ -148,3 +148,21 @@ def test_fused_decoder_matches_vanilla(small_problem):
     np.testing.assert_array_equal(v.path, f.path)
     f2 = decode(hmm, y, algorithm="fused", use_pallas=False, warmup=False)
     np.testing.assert_array_equal(v.path, f2.path)
+
+
+def test_beam_scan_kernel_matches_xla(small_problem):
+    """Fused beam-scan kernel (interpret) vs the XLA beam path."""
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.algorithms.beam import beam_decode
+
+    hmm, y = small_problem
+    lh = hmm.log()
+    logA, logB, logPi = (jnp.asarray(x) for x in (lh.logA, lh.logB, lh.logPi))
+    yd = jnp.asarray(np.asarray(y), jnp.int32)
+    for bw in (8, 16):
+        a = np.asarray(beam_decode(logA, logB, logPi, yd, beam_width=bw,
+                                   use_pallas=False))
+        b = np.asarray(beam_decode(logA, logB, logPi, yd, beam_width=bw,
+                                   use_pallas=True))
+        np.testing.assert_array_equal(a, b)

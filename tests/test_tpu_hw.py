@@ -87,3 +87,22 @@ def test_sharded_single_chip_kernel_path(tpu_backend):
                                   jnp.asarray(np.asarray(y), jnp.int32),
                                   num_segments=4))
     np.testing.assert_array_equal(out, ref[None].repeat(2, axis=0))
+
+
+def test_beam_kernel_on_hw(tpu_backend):
+    """Fused beam-scan kernel on real Mosaic (dynamic-row DMAs, in-kernel
+    top-B) vs the XLA beam path."""
+    import jax.numpy as jnp
+
+    import flash_viterbi_tpu as fvt
+    from flash_viterbi_tpu.algorithms.beam import beam_decode
+
+    hmm, y = fvt.make_sparse_hmm(K=128, M=10, T=48, prob=0.25, seed=11)
+    lh = hmm.log()
+    logA, logB, logPi = (jnp.asarray(x) for x in (lh.logA, lh.logB, lh.logPi))
+    yd = jnp.asarray(np.asarray(y), jnp.int32)
+    a = np.asarray(beam_decode(logA, logB, logPi, yd, beam_width=16,
+                               use_pallas=False))
+    b = np.asarray(beam_decode(logA, logB, logPi, yd, beam_width=16,
+                               use_pallas=True))
+    np.testing.assert_array_equal(a, b)
