@@ -61,8 +61,12 @@ def beam_decode(logA, logB, logPi, y, beam_width: int,
 
 
 def _memory(K: int, T: int, beam_width: int = 64, **_) -> int:
+    """Derived from the decoder's live buffers (no reference counterpart —
+    the reference beam_search keeps full T1/T2 dicts): states_hist (T, B)
+    int32 + slot_ptrs (T-1, B) int32 ~= T*B*8, plus the double-buffered
+    beam registers (vals+states, two steps live under scan) 2*(B*4+B*4)
+    and the top-k temporary (B*8)."""
     B = beam_width
-    # beam history + slot pointers + double-buffered beam
     return T * B * 8 + 4 * B * 8
 
 

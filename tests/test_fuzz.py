@@ -33,6 +33,8 @@ def test_exact_algorithms_agree(K, M, T, prob, seed):
         ("fused", {"use_pallas": True}),
         ("flash", {"num_segments": 5}),
         ("flash", {"num_segments": 5, "mode": "lean"}),
+        ("flash", {"num_segments": 5, "mode": "lean", "lean_leaf": 0}),
+        ("flash", {"num_segments": 3, "mode": "lean", "lean_leaf": 4}),
         ("flash_bs", {"beam_width": K, "num_segments": 5}),
         ("beam", {"beam_width": K}),
     ]:
