@@ -45,7 +45,7 @@ from ..ops.pallas.maxplus import kernel_supported, maxplus_scan
 from .base import Decoder, register
 from .flash import _pallas_interpret
 
-NEG = jnp.float32(-jnp.inf)
+NEG = np.float32(-np.inf)  # numpy scalar: no backend init at import
 
 
 @dataclasses.dataclass

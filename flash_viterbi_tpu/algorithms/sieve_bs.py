@@ -52,8 +52,8 @@ import jax.numpy as jnp
 from .base import Decoder, register
 from .sieve import NEG, _bfs_masks
 
-_SENT_TOUCHED = jnp.float32(-2.0e38)   # touched but still -inf (dict key present)
-_SENT_UNTOUCHED = jnp.float32(-3.0e38)
+_SENT_TOUCHED = np.float32(-2.0e38)   # touched but still -inf (dict key present)
+_SENT_UNTOUCHED = np.float32(-3.0e38)
 
 
 def _beam_vals(T1, touched):

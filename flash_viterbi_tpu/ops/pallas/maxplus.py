@@ -26,12 +26,14 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = np.float32(-np.inf)  # numpy scalar: no backend init at import
 
 # VMEM budget for the (double-buffered) logA tile: leave headroom for the
 # carry/accumulator scratch and the emission/pointer blocks.
