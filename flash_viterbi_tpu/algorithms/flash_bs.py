@@ -52,7 +52,8 @@ def beam_step(vals, states, logA, emit):
     return jnp.max(scores, axis=0) + emit, jnp.argmax(scores, axis=0).astype(jnp.int32)
 
 
-def _phase1_beam(logA, logPi, emits, mids, B: int):
+def _phase1_beam(logA, logPi, emits, mids, B: int,
+                 use_pallas: bool = False, interpret: bool = False):
     """Multi-anchor beam forward pass (reference nvviterNdivide :295-399)."""
     T, K = emits.shape
     P = len(mids)
@@ -60,6 +61,18 @@ def _phase1_beam(logA, logPi, emits, mids, B: int):
     vals0, states0 = beam_topk(full0, B)
     planes0 = jnp.full((P, B), -1, dtype=jnp.int32)
     prop = np.asarray([[j > m + 1 for m in mids] for j in range(1, T)], dtype=bool)
+
+    if use_pallas:
+        from ..ops.pallas.beam import beam_scan, beam_scan_planes
+
+        if P:
+            hist, _slots, planes = beam_scan_planes(
+                logA, emits[1:], vals0, states0,
+                jnp.asarray(prop.astype(np.int32)), interpret=interpret)
+            return hist[-1][0], planes[:, 0]
+        hist, _slots = beam_scan(logA, emits[1:], vals0, states0,
+                                 interpret=interpret)
+        return hist[-1][0], jnp.zeros((0,), jnp.int32)
 
     def step(carry, x):
         vals, states, planes = carry
@@ -121,16 +134,27 @@ def _segment_beam(logA, logPi, seg_emits, init_state, is_first, end_state, nstep
     return jnp.where(found, path, -1)
 
 
-def flash_bs_decode(logA, logB, logPi, y, beam_width: int, num_segments: int = 8):
+def flash_bs_decode(logA, logB, logPi, y, beam_width: int, num_segments: int = 8,
+                    use_pallas: bool | str = "auto"):
     T = y.shape[0]
-    B = min(int(beam_width), int(logA.shape[0]))  # clamp: beam cannot exceed K
+    K = int(logA.shape[0])
+    B = min(int(beam_width), K)  # clamp: beam cannot exceed K
     N = int(num_segments)
     if N < 1 or T < 2 * N:
         N = max(1, min(N, T // 2)) or 1
     emits = logB[:, y].T
 
+    if use_pallas == "auto":
+        from ..ops.pallas.beam import beam_kernel_supported
+
+        use_pallas = (jax.default_backend() == "tpu"
+                      and beam_kernel_supported(K, B))
+    from .flash import _pallas_interpret
+
     mids = flash_midpoints(0, T - 1, N) if N > 1 else []
-    last, anchors = _phase1_beam(logA, logPi, emits, mids, B)
+    last, anchors = _phase1_beam(logA, logPi, emits, mids, B,
+                                 use_pallas=bool(use_pallas),
+                                 interpret=_pallas_interpret())
 
     starts_l = [0] + [m + 1 for m in mids]
     ends_l = mids + [T - 1]
@@ -168,12 +192,14 @@ def _memory(K: int, T: int, beam_width: int = 64, num_segments: int = 8, **_) ->
 
 
 @register("flash_bs")
-def _build(beam_width: int = 64, num_segments: int = 8, **static) -> Decoder:
+def _build(beam_width: int = 64, num_segments: int = 8,
+           use_pallas: bool | str = "auto", **static) -> Decoder:
     def fn(logA, logB, logPi, y):
         return flash_bs_decode(logA, logB, logPi, y, beam_width=beam_width,
-                               num_segments=num_segments)
+                               num_segments=num_segments, use_pallas=use_pallas)
 
     return Decoder(
-        "flash_bs", fn, {"beam_width": beam_width, "num_segments": num_segments, **static},
+        "flash_bs", fn, {"beam_width": beam_width, "num_segments": num_segments,
+                         "use_pallas": use_pallas, **static},
         _memory,
     )

@@ -16,7 +16,10 @@ measured.  This kernel keeps the entire time loop on-chip:
   (exactly ``jax.lax.top_k``'s descending, index-stable order — the
   "taken" mask keeps indices distinct even among -inf ties);
 * per-step outputs are the beam history (T-1, B) state ids and the
-  winning-slot pointers (T-1, B) — the O(T*B) beam memory contract.
+  winning-slot pointers (T-1, B) — the O(T*B) beam memory contract;
+* optionally, FLASH-BS's P anchor planes ((P, B) int32: state at anchor
+  time per beam slot) fold in-kernel — the record/propagate recurrence is
+  a lane gather by the winning slots (B <= 128 lanes = one vreg).
 
 This is the TPU analog of the reference FPGA's dual-heap ping-pong
 (HEAP_1/HEAP_2 + HEAP_SELECT units, SURVEY.md §2.5 row 17): the heap is
@@ -35,16 +38,20 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = float("-inf")  # python scalar: kernels may not capture traced constants
 
 
-def _beam_scan_kernel(vals0_ref, states0_ref, emits_ref, logA_hbm,
-                      hist_ref, slots_ref,
-                      vals_s, states_s, rows_buf, sems,
-                      *, B: int, K: int):
+def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
+                      emits_ref, logA_hbm,
+                      hist_ref, slots_ref, planes_ref,
+                      vals_s, states_s, rows_buf, prev_sv, planes_s, sems,
+                      *, B: int, K: int, P: int):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
-        vals_s[:] = vals0_ref[:]          # (B, 1) f32
+        vals_s[:] = vals0_ref[:]            # (B, 1) f32
         states_s[0, :] = states0_ref[0, :]  # (1, B) int32 SMEM
+        prev_sv[:] = states0v_ref[:]        # (1, B) int32 VMEM
+        if P:
+            planes_s[:] = jnp.full((P, B), -1, jnp.int32)
 
     # fetch the B beam rows concurrently (dynamic row index from SMEM)
     for b in range(B):
@@ -62,7 +69,10 @@ def _beam_scan_kernel(vals0_ref, states0_ref, emits_ref, logA_hbm,
 
     # top-B extraction: masked max + lowest-index, distinct via `taken`
     iotaK = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    iotaB1 = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
     taken = jnp.zeros((1, K), jnp.bool_)
+    sv = jnp.zeros((1, B), jnp.int32)
+    slv = jnp.zeros((1, B), jnp.int32)
     for b in range(B):
         masked = jnp.where(taken, NEG, full)
         m = jnp.max(masked)
@@ -74,12 +84,74 @@ def _beam_scan_kernel(vals0_ref, states0_ref, emits_ref, logA_hbm,
         vals_s[b, 0] = m
         hist_ref[0, 0, b] = idx
         # winning old-beam slot of this new beam entry: slot[idx]
-        slots_ref[0, 0, b] = jnp.min(jnp.where(iotaK == idx, slot, B))
+        sb = jnp.min(jnp.where(iotaK == idx, slot, B))
+        slots_ref[0, 0, b] = sb
+        sv = jnp.where(iotaB1 == b, idx, sv)
+        slv = jnp.where(iotaB1 == b, sb, slv)
+
+    if P:
+        # anchor-plane recurrence (flash_bs._phase1_beam): record the old
+        # beam's states at anchor steps, propagate by winning slot after
+        moved = jnp.take_along_axis(planes_s[:],
+                                    jnp.broadcast_to(slv, (P, B)), axis=1)
+        rec = jnp.take_along_axis(prev_sv[:], slv, axis=1)  # (1, B)
+        prop_col = jnp.transpose(prop_ref[:])  # (P, 1)
+        planes_s[:] = jnp.where(prop_col > 0, moved,
+                                jnp.broadcast_to(rec, (P, B)))
+
+        @pl.when(t == pl.num_programs(0) - 1)
+        def _():
+            planes_ref[:] = planes_s[:]
+    prev_sv[:] = sv
+
+
+def _call(logA, emits, vals0, states0, prop, P: int, interpret: bool):
+    Tm, K = emits.shape
+    B = vals0.shape[0]
+    Pp = max(P, 1)
+    kernel = functools.partial(_beam_scan_kernel, B=B, K=K, P=P)
+    hist, slots, planes = pl.pallas_call(
+        kernel,
+        grid=(Tm,),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pp), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # logA stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((Pp, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tm, 1, B), jnp.int32),
+            jax.ShapeDtypeStruct((Tm, 1, B), jnp.int32),
+            jax.ShapeDtypeStruct((Pp, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, 1), jnp.float32),   # beam values
+            pltpu.SMEM((1, B), jnp.int32),     # beam state ids
+            pltpu.VMEM((B, K), jnp.float32),   # gathered rows
+            pltpu.VMEM((1, B), jnp.int32),     # previous beam states (vector)
+            pltpu.VMEM((Pp, B), jnp.int32),    # anchor planes
+            pltpu.SemaphoreType.DMA((B,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tm * B * K,
+            bytes_accessed=Tm * (B * K * 4 + K * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(vals0[:, None], states0[None, :], states0[None, :], prop, emits, logA)
+    return hist[:, 0, :], slots[:, 0, :], planes
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def beam_scan(logA, emits, vals0, states0, interpret: bool = False):
-    """Run the fused beam forward scan.
+    """Run the fused beam forward scan (no anchor planes).
 
     Args:
       logA:   (K, K) fp32 (stays in HBM; rows DMA'd on demand).
@@ -91,40 +163,24 @@ def beam_scan(logA, emits, vals0, states0, interpret: bool = False):
       (hist (T', B) int32 beam states per step,
        slots (T', B) int32 winning previous-beam slot per new entry).
     """
-    Tm, K = emits.shape
-    B = vals0.shape[0]
-    kernel = functools.partial(_beam_scan_kernel, B=B, K=K)
-    hist, slots = pl.pallas_call(
-        kernel,
-        grid=(Tm,),
-        in_specs=[
-            pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda t: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # logA stays in HBM
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Tm, 1, B), jnp.int32),
-            jax.ShapeDtypeStruct((Tm, 1, B), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((B, 1), jnp.float32),   # beam values
-            pltpu.SMEM((1, B), jnp.int32),     # beam state ids
-            pltpu.VMEM((B, K), jnp.float32),   # gathered rows
-            pltpu.SemaphoreType.DMA((B,)),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Tm * B * K,
-            bytes_accessed=Tm * (B * K * 4 + K * 4),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(vals0[:, None], states0[None, :], emits, logA)
-    return hist[:, 0, :], slots[:, 0, :]
+    Tm = emits.shape[0]
+    prop = jnp.zeros((Tm, 1), jnp.int32)
+    hist, slots, _ = _call(logA, emits, vals0, states0, prop, 0, interpret)
+    return hist, slots
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def beam_scan_planes(logA, emits, vals0, states0, prop, interpret: bool = False):
+    """Beam scan with FLASH-BS anchor planes folded in-kernel.
+
+    ``prop``: (T', P) int32 — nonzero means "propagate plane by winning
+    slot", zero means "record the previous beam's states" (the reference's
+    record-at-j==mid+1 contract, ``_phase1_beam``).
+
+    Returns (hist, slots, planes (P, B) int32 at the final step).
+    """
+    P = prop.shape[1]
+    return _call(logA, emits, vals0, states0, prop, P, interpret)
 
 
 def beam_kernel_supported(K: int, B: int) -> bool:

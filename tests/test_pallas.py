@@ -166,3 +166,20 @@ def test_beam_scan_kernel_matches_xla(small_problem):
         b = np.asarray(beam_decode(logA, logB, logPi, yd, beam_width=bw,
                                    use_pallas=True))
         np.testing.assert_array_equal(a, b)
+
+
+def test_flash_bs_kernel_phase1_matches_xla(medium_problem):
+    """flash_bs with the fused beam kernel (in-kernel anchor planes) vs XLA."""
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.algorithms.flash_bs import flash_bs_decode
+
+    hmm, y = medium_problem
+    lh = hmm.log()
+    logA, logB, logPi = (jnp.asarray(x) for x in (lh.logA, lh.logB, lh.logPi))
+    yd = jnp.asarray(np.asarray(y), jnp.int32)
+    a = np.asarray(flash_bs_decode(logA, logB, logPi, yd, beam_width=16,
+                                   num_segments=4, use_pallas=False))
+    b = np.asarray(flash_bs_decode(logA, logB, logPi, yd, beam_width=16,
+                                   num_segments=4, use_pallas=True))
+    np.testing.assert_array_equal(a, b)

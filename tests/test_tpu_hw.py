@@ -106,3 +106,20 @@ def test_beam_kernel_on_hw(tpu_backend):
     b = np.asarray(beam_decode(logA, logB, logPi, yd, beam_width=16,
                                use_pallas=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_flash_bs_kernel_on_hw(tpu_backend):
+    import jax.numpy as jnp
+
+    import flash_viterbi_tpu as fvt
+    from flash_viterbi_tpu.algorithms.flash_bs import flash_bs_decode
+
+    hmm, y = fvt.make_sparse_hmm(K=128, M=10, T=48, prob=0.25, seed=11)
+    lh = hmm.log()
+    logA, logB, logPi = (jnp.asarray(x) for x in (lh.logA, lh.logB, lh.logPi))
+    yd = jnp.asarray(np.asarray(y), jnp.int32)
+    a = np.asarray(flash_bs_decode(logA, logB, logPi, yd, beam_width=16,
+                                   num_segments=4, use_pallas=False))
+    b = np.asarray(flash_bs_decode(logA, logB, logPi, yd, beam_width=16,
+                                   num_segments=4, use_pallas=True))
+    np.testing.assert_array_equal(a, b)
