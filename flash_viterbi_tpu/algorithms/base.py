@@ -86,6 +86,7 @@ def decode(
     pad_to: int = 128,
     warmup: bool = True,
     device=None,
+    retries: int = 0,
     **static: Any,
 ) -> DecodeResult:
     """End-to-end decode of one observation sequence.
@@ -93,6 +94,9 @@ def decode(
     Precomputes log tables (the reference recomputes ``log()`` per trellis
     access — ``src/FLASH_Viterbi_multithread.c:170``; we pay it once),
     pads K to a lane multiple, jits, and times the decode.
+
+    ``retries > 0`` re-dispatches on transient device failures (decodes
+    are pure/idempotent — ``utils.failsafe``); default fail-fast.
     """
     lh = hmm if isinstance(hmm, LogHMM) else hmm.log()
     K = lh.K
@@ -105,10 +109,20 @@ def decode(
     yd = put(np.asarray(y, dtype=np.int32))
 
     fn = jax.jit(dec) if dec.jittable else dec
+
+    def issue():
+        return jax.block_until_ready(fn(logA, logB, logPi, yd))
+
+    if retries > 0:
+        from ..utils.failsafe import with_redispatch
+
+        run = lambda: with_redispatch(issue, retries=retries)
+    else:
+        run = issue
     if warmup:
-        jax.block_until_ready(fn(logA, logB, logPi, yd))
+        run()
     t0 = time.perf_counter()
-    path = jax.block_until_ready(fn(logA, logB, logPi, yd))
+    path = run()
     t1 = time.perf_counter()
     return DecodeResult(
         path=np.asarray(path)[:T],

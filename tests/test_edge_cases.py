@@ -60,3 +60,33 @@ def test_segments_exceeding_half_T_clamp(small_problem):
     v = fvt.decode(hmm, y, algorithm="vanilla", warmup=False)
     f = fvt.decode(hmm, y, algorithm="flash", num_segments=1000, warmup=False)
     np.testing.assert_array_equal(v.path, f.path)
+
+
+def test_redispatch_retries_transient_failures():
+    from flash_viterbi_tpu.utils.failsafe import with_redispatch
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("UNAVAILABLE: synthetic tunnel drop")
+        return "ok"
+
+    assert with_redispatch(flaky, retries=3, backoff_s=0.0) == "ok"
+    assert calls["n"] == 3
+
+    import pytest as _pytest
+
+    calls["n"] = 0
+    with _pytest.raises(RuntimeError):
+        with_redispatch(flaky, retries=1, backoff_s=0.0)
+
+
+def test_decode_retries_kwarg(small_problem):
+    import flash_viterbi_tpu as fvt
+
+    hmm, y = small_problem
+    r = fvt.decode(hmm, y, algorithm="vanilla", pad_to=1, warmup=False,
+                   retries=2)
+    assert r.path.shape[0] == len(y)
