@@ -1,0 +1,246 @@
+"""SIEVE (dynamic median) and SIEVE-DAG, TPU-native.
+
+These are the two reference algorithms that exist only as Python originals
+(no C ports): ``Sieve.sieve`` (dynamic median selection,
+``Base_line/Python implementations/Viterbi.py:529-681``) and
+``Sieve.sieve_dag`` (DAG-structured HMMs, ``Viterbi.py:994-1152`` with the
+topological preprocessing ``:850-990``).  Both recurse over a
+*data-dependent* split: the forward pass tracks, per end state, the best
+transition ``(x_a, x_b, t)`` seen so far — the one minimizing
+``max(#ancestors(x_a), #descendants(x_b))`` (first strictly smaller wins,
+no closeness tie-break — unlike SIEVE-BS) — then BFS-prunes each half and
+recurses.
+
+TPU decomposition (same shape as ``algorithms.sieve_bs``):
+
+* **All trellis math on device.**  Each recursion node's forward pass is
+  one jitted dense masked scan (auto-memoized per segment length): the
+  median carry ``(mx, my, mn, mval)`` is vectorized over all K
+  destinations; the sequential per-destination update of the original
+  (``Viterbi.py:602-636``) depends only on the argmax predecessor, so a
+  dense masked argmax with lowest-active-index tie-breaking reproduces it
+  exactly (including the all-(-inf) case, where ``np.argmax`` over the
+  compacted subproblem picks the lowest *active* state).
+* **Neighborhood counts on device** as simultaneous BFS frontier advances
+  (MXU matmuls): SIEVE uses one global ``<= b``-hop count per state
+  (``b = floor(log2 K)``, ``Viterbi.py:476-526``); SIEVE-DAG *recomputes*
+  per-node counts over the index-restricted subgraph with ``T_seg - 1``
+  hops (the topological accumulation of ``:850-988`` equals BFS
+  reachability counting on a DAG — and BFS also terminates on cyclic
+  inputs where the reference's topological sweep would spin).
+* **The host drives only the recursion** — split points are runtime data,
+  mirroring the reference's inherently sequential control flow; child
+  state sets come from a host BFS restricted to the parent's subset.
+
+Reference quirks kept: subproblem priors are uniform over the *active
+subset* unless an ``initial_state`` is forced (a module-level mutable in
+the original — left children inherit the nearest right-ancestor's forced
+state, reproduced by threading the same mutable through the in-order
+recursion); forced entry states use a one-hot prior (log 0 = -inf
+elsewhere); a node whose median was never set returns silently.
+
+Documented delta (same policy as ``sieve_bs``): scores are fp32 here vs
+the reference's float64 — identical decisions off exact fp ties; count
+comparisons are integer-exact in both.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .base import Decoder, register
+from .sieve import NEG, _bfs_masks
+from .sieve_bs import _bhop_counts
+
+
+@partial(jax.jit, static_argnames=("hops",))
+def _dag_counts(A_posF, mask, hops: int):
+    """Per-node (ancestors, descendants) counts over the index-restricted
+    subgraph, <= hops edge hops (sieve_dag's per-level preprocessing)."""
+    K = A_posF.shape[0]
+    adj = A_posF * (mask[:, None] * mask[None, :])
+    eye = jnp.eye(K, dtype=jnp.float32) * mask[:, None]
+    desc = _bfs_masks(adj, eye, mask, hops).sum(axis=1)
+    anc = _bfs_masks(jnp.transpose(adj), eye, mask, hops).sum(axis=1)
+    return anc.astype(jnp.float32), desc.astype(jnp.float32)
+
+
+@jax.jit
+def _node_forward_dyn(logA, logB, anc_cnt, desc_cnt, y_seg, mask, pi_vec,
+                      last_forced):
+    """One recursion node: masked forward pass + dynamic-median carry.
+
+    Mirrors ``oracle.sieve.sieve_dynamic``'s inner loop (Viterbi.py:570-636)
+    over global state indices: ``scores = (T1[:,None] + logA) + emit`` with
+    -inf outside the active subset, argmax per destination with
+    lowest-active-index ties, median update gated on
+    ``cand < prev_val[arg]`` else inheritance if the source has a median.
+
+    Returns (x_a, x_b, n_left, last) scalars; x_a == -1 means the node's
+    median was never set (the oracle's early return).
+    """
+    L = y_seg.shape[0]
+    K = logA.shape[0]
+    iota = jnp.arange(K, dtype=jnp.int32)
+    active = mask > 0
+    pair_mask = active[:, None] & active[None, :]
+    emits = jnp.transpose(logB[:, y_seg])  # (L, K)
+
+    T1 = jnp.where(active, pi_vec + emits[0], NEG)
+
+    def step(carry, x):
+        T1, mx, my, mn, mval = carry
+        j, emit_row = x
+        scores = (T1[:, None] + logA) + emit_row[None, :]
+        scores = jnp.where(jnp.isnan(scores), NEG, scores)
+        scores = jnp.where(pair_mask, scores, NEG)
+        best = jnp.max(scores, axis=0)
+        win = (scores == best[None, :]) & active[:, None]
+        arg = jnp.min(jnp.where(win, iota[:, None], K), axis=0).astype(jnp.int32)
+        cand = jnp.maximum(anc_cnt[arg], desc_cnt)
+        pv = mval[arg]
+        take_new = cand < pv
+        inh = jnp.logical_and(~take_new, mx[arg] != -1)
+        nmx = jnp.where(take_new, arg, jnp.where(inh, mx[arg], -1))
+        nmy = jnp.where(take_new, iota, jnp.where(inh, my[arg], -1))
+        nmn = jnp.where(take_new, j, jnp.where(inh, mn[arg], -1)).astype(jnp.int32)
+        nmval = jnp.where(take_new, cand, jnp.where(inh, pv, jnp.inf))
+        return (best, nmx, nmy, nmn, nmval), None
+
+    init = (T1, jnp.full((K,), -1, jnp.int32), jnp.full((K,), -1, jnp.int32),
+            jnp.full((K,), -1, jnp.int32), jnp.full((K,), jnp.inf, jnp.float32))
+    (T1, mx, my, mn, mval), _ = jax.lax.scan(
+        step, init, (jnp.arange(1, L, dtype=jnp.int32), emits[1:]))
+
+    bestT = jnp.max(jnp.where(active, T1, NEG))
+    last_arg = jnp.min(jnp.where((T1 == bestT) & active, iota, K)).astype(jnp.int32)
+    last = jnp.where(last_forced >= 0, last_forced, last_arg)
+    return mx[last], my[last], mn[last], last
+
+
+def _host_bfs(adj: np.ndarray, src: int, hops: int) -> np.ndarray:
+    """Level BFS, <= hops edge hops; source excluded unless re-reached
+    (the oracle's ``_bfs_mask`` over global indices)."""
+    K = adj.shape[0]
+    visited = np.zeros(K, bool)
+    frontier = np.zeros(K, bool)
+    frontier[src] = True
+    for _ in range(max(hops, 0)):
+        new = adj[frontier].any(axis=0) & ~visited
+        if not new.any():
+            break
+        visited |= new
+        frontier = new
+    return visited
+
+
+def sieve_dynamic_decode(logA, logB, logPi, y, b_hops: int | None = None,
+                         dag: bool = False) -> list[tuple[int, int]]:
+    """Full SIEVE (dynamic median) / SIEVE-DAG decode; returns the in-order
+    median-pair list (matches ``oracle.sieve.sieve_dynamic`` /
+    ``oracle.sieve.sieve_dag`` off exact fp ties).
+    """
+    logA_np = np.asarray(logA)
+    logB_np = np.asarray(logB)
+    K = logA_np.shape[0]
+    y_np = np.asarray(y)
+
+    # logical (non-padding) states: padded states are all -inf everywhere
+    real = (np.isfinite(logA_np).any(axis=1) | np.isfinite(logB_np).any(axis=1)
+            | np.isfinite(np.asarray(logPi)))
+    A_pos_np = np.isfinite(logA_np)
+    A_posF = jnp.asarray(A_pos_np, jnp.float32)
+    logA_d = jnp.asarray(logA)
+    logB_d = jnp.asarray(logB)
+
+    if not dag:
+        b = (max(1, int(np.floor(np.log2(max(2, int(real.sum()))))))
+             if b_hops is None else int(b_hops))
+        anc_g, desc_g = _bhop_counts(A_posF, hops=b)
+
+    path: list[tuple[int, int]] = []
+    state = {"initial_state": None}  # the original's module-level mutable
+    iota = np.arange(K)
+
+    def rec(mask_np: np.ndarray, y_seg: np.ndarray, last: int | None):
+        k_sub = int(mask_np.sum())
+        L = len(y_seg)
+        if k_sub <= 1:
+            return
+        if dag:
+            anc_l, desc_l = _dag_counts(A_posF, jnp.asarray(mask_np, jnp.float32),
+                                        hops=min(L - 1, K))
+        else:
+            anc_l, desc_l = anc_g, desc_g
+        init = state["initial_state"]
+        if init is None:
+            pi_vec = np.full((K,), np.float32(np.log(1.0 / k_sub)), np.float32)
+        else:
+            pi_vec = np.where(iota == init, np.float32(0.0),
+                              np.float32(-np.inf)).astype(np.float32)
+        x_a, x_b, n_left, last_r = _node_forward_dyn(
+            logA_d, logB_d, anc_l, desc_l,
+            jnp.asarray(y_seg, jnp.int32), jnp.asarray(mask_np, jnp.float32),
+            jnp.asarray(pi_vec), jnp.asarray(-1 if last is None else last,
+                                             jnp.int32))
+        x_a, x_b, n_left = int(x_a), int(x_b), int(n_left)
+        if x_a == -1:
+            return
+
+        adj_sub = A_pos_np & np.outer(mask_np, mask_np)
+        if n_left > 1:
+            lm = _host_bfs(adj_sub.T, x_a, n_left - 1).copy()
+            lm[x_a] = True
+            rec(lm, y_seg[:n_left], x_a)
+
+        path.append((x_a, x_b))
+
+        n_right = L - n_left
+        if n_right > 1:
+            rm = _host_bfs(adj_sub, x_b, n_right - 1).copy()
+            rm[x_b] = True
+            state["initial_state"] = x_b
+            rec(rm, y_seg[-n_right:], None)
+
+    rec(np.asarray(real, bool), y_np, None)
+    return path
+
+
+def _flatten(pairs: list[tuple[int, int]], T: int) -> np.ndarray:
+    """pretty_print_path layout (Viterbi.py:827-847): p0.x, p0.y, then the
+    .y of each later pair; -1 padding to T."""
+    out = np.full((T,), -1, np.int32)
+    if pairs:
+        flat = [pairs[0][0], pairs[0][1]] + [p[1] for p in pairs[1:]]
+        out[:min(len(flat), T)] = np.asarray(flat[:T], np.int32)
+    return out
+
+
+def _memory(K: int, T: int, **_) -> int:
+    # per node: T1 + 4 median carries (5 K-vectors f32/int32) + the two
+    # count vectors + the (L, K) emission gather at the root
+    return 5 * K * 4 + 2 * K * 4 + T * K * 4
+
+
+@register("sieve")
+def _build(b_hops: int | None = None, **static) -> Decoder:
+    def fn(logA, logB, logPi, y):
+        pairs = sieve_dynamic_decode(logA, logB, logPi, y, b_hops=b_hops)
+        return jnp.asarray(_flatten(pairs, int(y.shape[0])))
+
+    return Decoder("sieve", fn, {"b_hops": b_hops, **static}, _memory,
+                   jittable=False)
+
+
+@register("sieve_dag")
+def _build_dag(**static) -> Decoder:
+    def fn(logA, logB, logPi, y):
+        pairs = sieve_dynamic_decode(logA, logB, logPi, y, dag=True)
+        return jnp.asarray(_flatten(pairs, int(y.shape[0])))
+
+    return Decoder("sieve_dag", fn, static, _memory, jittable=False)

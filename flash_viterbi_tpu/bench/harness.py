@@ -76,7 +76,8 @@ def marginal_time(make_chain, k1: int = 1, k2: int = 5, reps: int = 3) -> float:
 # Above these state counts the numpy/dict mirrors are too slow for a bench
 # loop; rows then fall back to a kernel-vs-XLA self-check (labelled so the
 # CSV never has an empty parity cell).
-_MIRROR_MAX_K = {"sieve_mp": 1024, "sieve_bs": 512, "sieve_bs_mp": 512}
+_MIRROR_MAX_K = {"sieve_mp": 1024, "sieve_bs": 512, "sieve_bs_mp": 512,
+                 "sieve": 512, "sieve_dag": 256}
 
 
 def _parity(cfg, hmm, y, path, dec, tables):
@@ -107,9 +108,19 @@ def _parity(cfg, hmm, y, path, dec, tables):
             from ..oracle.sieve import sieve_mp
             want = sieve_mp(hmm.A, hmm.B, hmm.Pi, y, numerics="f32")
             return bool((path == np.asarray(want)[: cfg.T]).all())
-        from ..oracle.sieve_bs import sieve_bs, sieve_bs_mp
-        pairs = (sieve_bs if alg == "sieve_bs" else sieve_bs_mp)(
-            hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+        if alg in ("sieve", "sieve_dag"):
+            from ..oracle.sieve import sieve_dag, sieve_dynamic
+            if alg == "sieve":
+                b = max(1, int(np.floor(np.log2(max(2, cfg.K)))))
+                pairs = sieve_dynamic(hmm.A, hmm.B, hmm.Pi, y, b_hops=b)
+            else:
+                pairs = sieve_dag(hmm.A, hmm.B, hmm.Pi, y)
+            if not pairs:
+                return bool((path == -1).all())
+        else:
+            from ..oracle.sieve_bs import sieve_bs, sieve_bs_mp
+            pairs = (sieve_bs if alg == "sieve_bs" else sieve_bs_mp)(
+                hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
         flat = np.asarray([pairs[0][0], pairs[0][1]] + [p[1] for p in pairs[1:]])
         n = min(len(flat), cfg.T)
         return bool((path[:n] == flat[:n]).all())

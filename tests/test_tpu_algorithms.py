@@ -175,3 +175,58 @@ def test_beam_monotone_quality(small_problem):
         r = decode(hmm, y, algorithm="beam", beam_width=bw, warmup=False, pad_to=1)
         lls.append(ll(r.path))
     assert lls[0] <= lls[1] + 1e-6 <= lls[2] + 2e-6
+
+
+# ---------------------------------------------------------------------------
+# sieve (dynamic median) and sieve_dag TPU decoders
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("K,M,T,prob,seed,b", [
+    (48, 8, 24, 0.25, 3, 4),
+    (64, 12, 32, 0.3, 7, 5),
+    (32, 6, 17, 0.4, 1, 3),
+])
+def test_sieve_dynamic_matches_oracle(K, M, T, prob, seed, b):
+    """TPU sieve (dynamic median) vs the reference-Python-verified oracle —
+    median pairs must agree exactly (fixtures have no fp ties)."""
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.algorithms.sieve_dyn import sieve_dynamic_decode
+    from flash_viterbi_tpu.models.generate import make_sparse_hmm
+    from flash_viterbi_tpu.oracle.sieve import sieve_dynamic
+
+    hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+    want = [tuple(int(v) for v in p)
+            for p in sieve_dynamic(hmm.A, hmm.B, hmm.Pi, y, b_hops=b)]
+    lh = hmm.log()
+    got = sieve_dynamic_decode(jnp.asarray(lh.logA), jnp.asarray(lh.logB),
+                               jnp.asarray(lh.logPi), np.asarray(y), b_hops=b)
+    assert got == want
+
+
+def test_sieve_dag_matches_oracle():
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.algorithms.sieve_dyn import sieve_dynamic_decode
+    from flash_viterbi_tpu.models.generate import make_dag_hmm
+    from flash_viterbi_tpu.oracle.sieve import sieve_dag
+
+    for K, M, T, seed in [(24, 8, 16, 3), (40, 6, 20, 11)]:
+        hmm, y = make_dag_hmm(K=K, M=M, T=T, seed=seed, sanitize=True)
+        want = [tuple(int(v) for v in p)
+                for p in sieve_dag(hmm.A, hmm.B, hmm.Pi, y)]
+        lh = hmm.log()
+        got = sieve_dynamic_decode(jnp.asarray(lh.logA), jnp.asarray(lh.logB),
+                                   jnp.asarray(lh.logPi), np.asarray(y),
+                                   dag=True)
+        assert got == want
+
+
+def test_sieve_dynamic_padding_invariance(small_problem):
+    """decode() at pad_to=128 must yield the same flattened output as
+    pad_to=1 (padded states are dead; uniform prior uses logical K)."""
+    hmm, y = small_problem
+    a = decode(hmm, y, algorithm="sieve", warmup=False, pad_to=1)
+    b = decode(hmm, y, algorithm="sieve", warmup=False, pad_to=128)
+    np.testing.assert_array_equal(a.path, b.path)
+    assert (a.path != -1).any()
