@@ -119,7 +119,7 @@ def _call(logA, emits, vals0, states0, prop, P: int, interpret: bool):
             pl.BlockSpec((1, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Pp), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # logA stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # logA stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
