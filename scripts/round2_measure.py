@@ -1,0 +1,115 @@
+"""Round-2 measurement queue for the one real TPU chip, quick wins first.
+
+Each step appends one JSON line to stdout immediately (partial progress
+survives a tunnel outage).  Run exactly one TPU process at a time:
+
+    nohup python scripts/round2_measure.py > results/round2_measure.log 2>&1 &
+
+Steps (VERDICT round-1 item numbers):
+  1. flash pointer @ headline          — sanity vs round-1 18-22 ms
+  2. flash hybrid lean @ headline      — item 6 (<= 40 ms bar)
+  3. flash_bs kernel vs XLA @ B=64     — item 10 (>= 2x 18.4 G beam-upd/s)
+  4. sieve_bs_mp @ headline K          — item 5 (beam-space step at K=3965)
+  5. sharded (1,1,1) pipelined path    — item 1 bar: within ~1.3x of fused,
+     at K=16384, T=4096 (sync floor negligible at ~6 s walls)
+Then run separately (hours-scale):
+  - scripts/config5_run.py             — item 1's full batch-8 x 65536 run
+  - FVT_TPU_TESTS=1 pytest -m tpu      — item 9's hardware tier
+  - python bench.py                    — the round artifact
+"""
+
+import json
+import time
+import traceback
+
+import numpy as np
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def step(name, fn):
+    t0 = time.time()
+    try:
+        out = fn()
+        emit(step=name, ok=True, elapsed_s=round(time.time() - t0, 1), **out)
+    except Exception as e:  # keep the queue draining past one bad step
+        traceback.print_exc()
+        emit(step=name, ok=False, error=f"{type(e).__name__}: {e}")
+
+
+def harness_row(**kw):
+    from flash_viterbi_tpu.bench.harness import RunConfig, run_one
+
+    row = run_one(RunConfig(**kw))
+    return {k: row[k] for k in ("algorithm", "K_STATE", "obserRouteLEN",
+                                "time", "updates_per_s", "parity", "memory")}
+
+
+def main():
+    import jax
+
+    emit(step="devices", devices=str(jax.devices()))
+
+    step("flash_headline", lambda: harness_row(
+        algorithm="flash", K=3965, M=50, T=256, prob=0.112, seed=1))
+    step("flash_lean", lambda: harness_row(
+        algorithm="flash", K=3965, M=50, T=256, prob=0.112, seed=1,
+        extra={"mode": "lean"}))
+    step("flash_bs_kernel", lambda: harness_row(
+        algorithm="flash_bs", K=3965, M=50, T=256, prob=0.112, seed=1,
+        beam_width=64, extra={"use_pallas": True}))
+    step("flash_bs_xla", lambda: harness_row(
+        algorithm="flash_bs", K=3965, M=50, T=256, prob=0.112, seed=1,
+        beam_width=64, extra={"use_pallas": False}))
+    step("sieve_bs_mp_headline", lambda: harness_row(
+        algorithm="sieve_bs_mp", K=3965, M=50, T=256, prob=0.112, seed=1,
+        beam_width=64))
+
+    def sharded_vs_fused():
+        import jax.numpy as jnp
+
+        from flash_viterbi_tpu.algorithms.checkpoint import checkpoint_decode_pallas
+        from flash_viterbi_tpu.models.generate import make_sparse_hmm
+        from flash_viterbi_tpu.parallel.sharded import flash_decode_sharded, make_mesh
+
+        K, M, T = 16384, 50, 4096
+        hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=0.112, seed=1)
+        lh = hmm.log()
+        logA = jnp.asarray(lh.logA)
+        logB = jnp.asarray(lh.logB)
+        logPi = jnp.asarray(lh.logPi)
+        ys = jnp.asarray(np.asarray(y, np.int32)[None])
+        mesh = make_mesh(1, 1, 1)
+
+        def run_shard():
+            out = flash_decode_sharded(mesh, logA, logB, logPi, ys,
+                                       num_segments=4, pipeline=True)
+            int(np.asarray(out[:, :4]).sum())  # real sync
+            return out
+
+        out = run_shard()  # compile
+        t0 = time.time(); out = run_shard(); wall_sh = time.time() - t0
+
+        def run_ckpt():
+            p = checkpoint_decode_pallas(logA, logB, logPi, jnp.asarray(y, jnp.int32))
+            int(np.asarray(p[:4]).sum())
+            return p
+
+        ref = run_ckpt()
+        t0 = time.time(); ref = run_ckpt(); wall_ck = time.time() - t0
+        match = bool((np.asarray(out[0]) == np.asarray(ref)).all())
+        upd = 1.0 * (T - 1) * K * K
+        return {"config": f"K{K}xT{T}", "sharded_wall_s": round(wall_sh, 3),
+                "checkpoint_wall_s": round(wall_ck, 3),
+                "sharded_upd_per_s": upd * 2 / wall_sh,  # both phases execute
+                "ratio_vs_checkpoint": round(wall_sh / wall_ck, 3),
+                "path_match": match}
+
+    step("sharded_111_K16384_T4096", sharded_vs_fused)
+    emit(step="DONE")
+
+
+if __name__ == "__main__":
+    main()
