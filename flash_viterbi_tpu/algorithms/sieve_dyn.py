@@ -54,25 +54,43 @@ import jax
 import jax.numpy as jnp
 
 from .base import Decoder, register
-from .sieve import NEG, _bfs_masks
+from .sieve import NEG
 from .sieve_bs import _bhop_counts
 
 
-@partial(jax.jit, static_argnames=("hops",))
-def _dag_counts(A_posF, mask, hops: int):
+def _bfs_masks_capped(adjF, frontier0, parent_mask, max_hops: int, n_hops):
+    """`_bfs_masks` with a traced hop count ``n_hops`` under a static bound
+    ``max_hops`` (lets the host bucket compiled programs by length)."""
+    visited = jnp.zeros_like(frontier0)
+
+    def step(carry, h):
+        visited, frontier = carry
+        reach = (frontier @ adjF) > 0
+        new = jnp.logical_and(reach, visited == 0).astype(frontier0.dtype)
+        new = new * parent_mask * (h < n_hops).astype(frontier0.dtype)
+        return (jnp.maximum(visited, new), new), None
+
+    (visited, _), _ = jax.lax.scan(step, (visited, frontier0),
+                                   jnp.arange(max_hops))
+    return visited
+
+
+@partial(jax.jit, static_argnames=("max_hops",))
+def _dag_counts(A_posF, mask, max_hops: int, n_hops):
     """Per-node (ancestors, descendants) counts over the index-restricted
-    subgraph, <= hops edge hops (sieve_dag's per-level preprocessing)."""
+    subgraph, <= n_hops edge hops (sieve_dag's per-level preprocessing)."""
     K = A_posF.shape[0]
     adj = A_posF * (mask[:, None] * mask[None, :])
     eye = jnp.eye(K, dtype=jnp.float32) * mask[:, None]
-    desc = _bfs_masks(adj, eye, mask, hops).sum(axis=1)
-    anc = _bfs_masks(jnp.transpose(adj), eye, mask, hops).sum(axis=1)
+    desc = _bfs_masks_capped(adj, eye, mask, max_hops, n_hops).sum(axis=1)
+    anc = _bfs_masks_capped(jnp.transpose(adj), eye, mask, max_hops,
+                            n_hops).sum(axis=1)
     return anc.astype(jnp.float32), desc.astype(jnp.float32)
 
 
 @jax.jit
-def _node_forward_dyn(logA, logB, anc_cnt, desc_cnt, y_seg, mask, pi_vec,
-                      last_forced):
+def _node_forward_dyn(logA, logB, anc_cnt, desc_cnt, y_seg, n_valid, mask,
+                      pi_vec, last_forced):
     """One recursion node: masked forward pass + dynamic-median carry.
 
     Mirrors ``oracle.sieve.sieve_dynamic``'s inner loop (Viterbi.py:570-636)
@@ -80,6 +98,11 @@ def _node_forward_dyn(logA, logB, anc_cnt, desc_cnt, y_seg, mask, pi_vec,
     -inf outside the active subset, argmax per destination with
     lowest-active-index ties, median update gated on
     ``cand < prev_val[arg]`` else inheritance if the source has a median.
+
+    ``y_seg`` may be padded past the true segment length ``n_valid`` (the
+    host buckets lengths to powers of two so the recursion compiles
+    O(log T) programs, not one per distinct length); padded steps pass the
+    carry through unchanged.
 
     Returns (x_a, x_b, n_left, last) scalars; x_a == -1 means the node's
     median was never set (the oracle's early return).
@@ -96,6 +119,7 @@ def _node_forward_dyn(logA, logB, anc_cnt, desc_cnt, y_seg, mask, pi_vec,
     def step(carry, x):
         T1, mx, my, mn, mval = carry
         j, emit_row = x
+        valid = j < n_valid
         scores = (T1[:, None] + logA) + emit_row[None, :]
         scores = jnp.where(jnp.isnan(scores), NEG, scores)
         scores = jnp.where(pair_mask, scores, NEG)
@@ -110,7 +134,9 @@ def _node_forward_dyn(logA, logB, anc_cnt, desc_cnt, y_seg, mask, pi_vec,
         nmy = jnp.where(take_new, iota, jnp.where(inh, my[arg], -1))
         nmn = jnp.where(take_new, j, jnp.where(inh, mn[arg], -1)).astype(jnp.int32)
         nmval = jnp.where(take_new, cand, jnp.where(inh, pv, jnp.inf))
-        return (best, nmx, nmy, nmn, nmval), None
+        return (jnp.where(valid, best, T1),
+                jnp.where(valid, nmx, mx), jnp.where(valid, nmy, my),
+                jnp.where(valid, nmn, mn), jnp.where(valid, nmval, mval)), None
 
     init = (T1, jnp.full((K,), -1, jnp.int32), jnp.full((K,), -1, jnp.int32),
             jnp.full((K,), -1, jnp.int32), jnp.full((K,), jnp.inf, jnp.float32))
@@ -173,8 +199,11 @@ def sieve_dynamic_decode(logA, logB, logPi, y, b_hops: int | None = None,
         if k_sub <= 1:
             return
         if dag:
+            hop_cap = min(1 << max(1, (L - 1)).bit_length(), K)
             anc_l, desc_l = _dag_counts(A_posF, jnp.asarray(mask_np, jnp.float32),
-                                        hops=min(L - 1, K))
+                                        max_hops=hop_cap,
+                                        n_hops=jnp.asarray(min(L - 1, K),
+                                                           jnp.int32))
         else:
             anc_l, desc_l = anc_g, desc_g
         init = state["initial_state"]
@@ -183,9 +212,15 @@ def sieve_dynamic_decode(logA, logB, logPi, y, b_hops: int | None = None,
         else:
             pi_vec = np.where(iota == init, np.float32(0.0),
                               np.float32(-np.inf)).astype(np.float32)
+        # bucket the compiled length to the next power of two: O(log T)
+        # distinct programs instead of one per data-dependent split length
+        Lp = 1 << max(1, (L - 1)).bit_length() if L > 2 else L
+        y_pad = np.zeros((Lp,), np.int32)
+        y_pad[:L] = y_seg
         x_a, x_b, n_left, last_r = _node_forward_dyn(
             logA_d, logB_d, anc_l, desc_l,
-            jnp.asarray(y_seg, jnp.int32), jnp.asarray(mask_np, jnp.float32),
+            jnp.asarray(y_pad), jnp.asarray(L, jnp.int32),
+            jnp.asarray(mask_np, jnp.float32),
             jnp.asarray(pi_vec), jnp.asarray(-1 if last is None else last,
                                              jnp.int32))
         x_a, x_b, n_left = int(x_a), int(x_b), int(n_left)
