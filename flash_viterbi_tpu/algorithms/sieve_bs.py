@@ -78,15 +78,20 @@ def _bhop_counts(A_posF, hops: int):
 
 @partial(jax.jit, static_argnames=("B",))
 def _node_forward(logA, emitQ, A_posF, anc_cnt, desc_cnt, pi_log,
-                  y_seg, mask, tokens0, last_forced, B: int):
+                  y_seg, n_valid, mask, tokens0, last_forced, B: int):
     """One recursion node's beam forward pass with dynamic-median tracking.
+
+    ``y_seg`` may be padded past the true segment length ``n_valid`` (the
+    host buckets lengths to powers of two so the recursion compiles
+    O(log T) programs, not one per distinct length); padded steps pass the
+    carry through unchanged.
 
     Returns (x_a, x_b, n_left, tokens_right (K,) f32, last) — the split
     decision of ``viterbi_space_efficient``'s main loop (:151-219).
     """
     L = y_seg.shape[0]
     K = logA.shape[0]
-    Thalf = L / 2.0
+    Thalf = n_valid.astype(jnp.float32) / 2.0
     iota = jnp.arange(K, dtype=jnp.int32)
 
     emit0 = emitQ[:, y_seg[0]]
@@ -155,9 +160,12 @@ def _node_forward(logA, emitQ, A_posF, anc_cnt, desc_cnt, pi_log,
         _, nbidx = jax.lax.top_k(nbvals, B)
         neff = jnp.minimum(B, jnp.sum(ntouched))
         ntok = tokm_of(nbidx, neff)
-        beams = beams.at[j].set(ntok)
+        nbeams = beams.at[j].set(ntok)
         nT1 = jnp.where(ntouched, nT1, NEG)
-        return (nT1, nmx, nmy, nmn, nmval, nbidx, neff, ntouched, beams), None
+        valid = j < n_valid  # padded step: pass the carry through
+        new = (nT1, nmx, nmy, nmn, nmval, nbidx, neff, ntouched, nbeams)
+        old = (T1, mx, my, mn, mval, bidx, eff, touched, beams)
+        return tuple(jnp.where(valid, n_, o_) for n_, o_ in zip(new, old)), None
 
     def tokm_of(bidx, eff):
         ok = (jnp.arange(B) < eff).astype(jnp.float32)
@@ -226,9 +234,14 @@ def sieve_bs_decode(logA, logB_raw, logPi, y, beam_width: int,
         if mask_np.sum() <= 1:
             return
         tokens0 = mask_np if tokens_np is None else tokens_np
+        # bucket the compiled length to the next power of two: O(log T)
+        # distinct programs instead of one per data-dependent split length
+        Lp = 1 << max(1, (L - 1)).bit_length() if L > 2 else L
+        y_pad = np.zeros((Lp,), np.int32)
+        y_pad[:L] = y_seg
         x_a, x_b, n_left, tokens_right, last_r = _node_forward(
             logA, emitQ, A_posF, anc_cnt, desc_cnt, pi_log,
-            jnp.asarray(y_seg, jnp.int32),
+            jnp.asarray(y_pad), jnp.asarray(L, jnp.int32),
             jnp.asarray(mask_np, jnp.float32),
             jnp.asarray(tokens0, jnp.float32),
             jnp.asarray(-1 if last is None else last, jnp.int32), B=B)
