@@ -224,7 +224,11 @@ def sieve_bs_decode(logA, logB_raw, logPi, y, beam_width: int,
     # uniform root prior for every subproblem (build_adjacency Pi=None)
     pi_log = jnp.float32(np.float64(np.log(1.0 / K)))
     b = T if b_hops is None else int(b_hops)
-    anc_cnt, desc_cnt = _bhop_counts(A_posF, hops=max(b - 1, 0))
+    # visited-gated BFS saturates after at most K productive hops (every
+    # state, incl. a cycle-re-reached source, enters `visited` once), so
+    # capping at K is bit-identical and avoids a T-long matmul scan at
+    # long-sequence configs
+    anc_cnt, desc_cnt = _bhop_counts(A_posF, hops=min(max(b - 1, 0), K))
 
     path: list[tuple[int, int]] = []
 

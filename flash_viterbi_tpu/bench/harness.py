@@ -115,15 +115,19 @@ def _parity(cfg, hmm, y, path, dec, tables):
                 pairs = sieve_dynamic(hmm.A, hmm.B, hmm.Pi, y, b_hops=b)
             else:
                 pairs = sieve_dag(hmm.A, hmm.B, hmm.Pi, y)
-            if not pairs:
-                return bool((path == -1).all())
         else:
             from ..oracle.sieve_bs import sieve_bs, sieve_bs_mp
             pairs = (sieve_bs if alg == "sieve_bs" else sieve_bs_mp)(
                 hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+        if not pairs:
+            return bool((path == -1).all())
         flat = np.asarray([pairs[0][0], pairs[0][1]] + [p[1] for p in pairs[1:]])
         n = min(len(flat), cfg.T)
         return bool((path[:n] == flat[:n]).all())
+    if not dec.jittable:
+        # host-driven decoders have no alternate compute path to diff
+        # against at large K; label honestly rather than faking a check
+        return "unchecked:K>mirror-cap"
     # large-K fallback: the same algorithm on the pure-XLA path must agree
     from .. import build
     alt = build(alg, use_pallas=False,
@@ -196,13 +200,14 @@ def run_one(cfg: RunConfig) -> dict:
         # host-driven decoders (sieve_bs) synchronize per node readback;
         # plain repeated wall timing is honest for them
         runner = dec
-        runner(logA, logB, logPi0, yd)  # warm the per-length jit caches
+        out = runner(logA, logB, logPi0, yd)  # warm the per-length jit caches
         walls = []
         for _ in range(3):
             t0 = time.perf_counter()
-            runner(logA, logB, logPi0, yd)
+            out = runner(logA, logB, logPi0, yd)
             walls.append(time.perf_counter() - t0)
         wall = float(np.median(walls))
+        runner = lambda *a: out  # reuse the last timed run's result
     path = np.asarray(runner(logA, logB, logPi0, yd))[: cfg.T]
 
     parity = ""

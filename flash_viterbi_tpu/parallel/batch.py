@@ -77,10 +77,17 @@ def decode_batch(
         if num_segments is not None:
             static.setdefault("num_segments", num_segments)
         dec = build(algorithm, **static)
-        fn = jax.jit(jax.vmap(dec, in_axes=(None, None, None, 0)))
+        if dec.jittable:
+            fn = jax.jit(jax.vmap(dec, in_axes=(None, None, None, 0)))
 
-        def run():
-            return fn(logA, logB, logPi, yd)
+            def run():
+                return fn(logA, logB, logPi, yd)
+        else:
+            # host-driven decoders (sieve_bs family) read split points back
+            # per node; vmap can't trace them — loop sequences eagerly
+            def run():
+                return jnp.stack([dec(logA, logB, logPi, yd[b])
+                                  for b in range(Bs)])
 
         mem_algorithm = algorithm
 

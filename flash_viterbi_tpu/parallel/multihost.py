@@ -20,6 +20,11 @@ DCN-crossing state axes unless ``allow_dcn_state=True``.
 
 from __future__ import annotations
 
+import os
+import socket
+import subprocess
+import sys
+
 import numpy as np
 
 import jax
@@ -83,10 +88,62 @@ def make_global_mesh(n_data: int | None = None, n_seq: int = 1,
     return Mesh(arr, AXES)
 
 
+def launch_workers(worker: str, n_processes: int, outdir,
+                   timeout: float = 240.0) -> list[str]:
+    """Run the DCN-style multi-process CPU rig in fresh OS processes.
+
+    Spawns ``n_processes`` copies of the ``worker`` script (argv: port,
+    process_id, n_processes, outdir), each joining ``jax.distributed``
+    over a fresh localhost port.  The parent's ``XLA_FLAGS`` device split
+    and the TPU plugin env are scrubbed so each worker configures its own
+    virtual devices.  Every worker must exit 0 AND write ``ok_<pid>``
+    into ``outdir``; returns the captured stdout of each, raising
+    RuntimeError (with the failing worker's tail) otherwise.
+    """
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device split
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU plugin out
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid),
+             str(n_processes), str(outdir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(n_processes)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise RuntimeError("multihost worker timed out")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise RuntimeError(f"worker {pid} failed:\n{out[-3000:]}")
+        if not os.path.exists(os.path.join(str(outdir), f"ok_{pid}")):
+            raise RuntimeError(f"worker {pid} wrote no ok-file:\n{out[-2000:]}")
+    return outs
+
+
 def local_batch_slice(global_batch: int) -> slice:
     """Rows of the global (Bs, T) batch owned by this process under the
     data-major layout (data axis split across processes first)."""
     p = jax.process_index()
     n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(
+            f"global batch {global_batch} must be divisible by the "
+            f"{n} processes (pad the batch); remainder rows would be "
+            "silently dropped otherwise")
     per = global_batch // n
     return slice(p * per, (p + 1) * per)

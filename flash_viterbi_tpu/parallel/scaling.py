@@ -84,7 +84,7 @@ def analyze(mesh_shape: tuple[int, int, int], K: int, T: int, batch: int,
     d, s, t = mesh_shape
     B, mb = batch, microbatch
     if B % d:
-        raise ValueError("batch must divide data axis")
+        raise ValueError("data axis size must divide the batch")
     Bd = B // d
     mb = min(mb, Bd)
     n_mb = max(1, Bd // mb)

@@ -137,7 +137,8 @@ def _flash_decode_pipelined(mesh, logA, logBT, logPi, ys, L: int, spd: int,
     K = logA.shape[0]
     Bd = Bs // n_data
     if Bd % mb:
-        raise ValueError(f"per-data-shard batch {Bd} must divide microbatch {mb}")
+        raise ValueError(
+            f"microbatch {mb} must divide the per-data-shard batch {Bd}")
     n_mb = Bd // mb
     ticks = n_mb + n_seq - 1
 
@@ -524,9 +525,9 @@ def flash_decode_sharded(mesh: Mesh, logA, logB, logPi, ys,
     Bs, T = ys.shape
     K = logA.shape[0]
     if K % n_state:
-        raise ValueError(f"padded K={K} must divide state axis {n_state}")
+        raise ValueError(f"state axis {n_state} must divide padded K={K}")
     if Bs % n_data:
-        raise ValueError(f"batch {Bs} must divide data axis {n_data}")
+        raise ValueError(f"data axis {n_data} must divide batch {Bs}")
 
     plan = _pipeline_plan(T, n_seq, num_segments)
     if pipeline is True and plan is None:

@@ -3,45 +3,10 @@ mesh spanning two OS processes (jax.distributed on the CPU backend), the
 standard stand-in for a multi-host TPU pod (SURVEY.md §4)."""
 
 import os
-import socket
-import subprocess
-import sys
 
-import pytest
-
-
-def _free_port() -> int:
-    s = socket.socket()
-    s.bind(("localhost", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+from flash_viterbi_tpu.parallel.multihost import launch_workers
 
 
 def test_two_process_decode(tmp_path):
-    port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # worker sets its own 2-device split
-    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU plugin out of workers
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(port), str(pid), "2", str(tmp_path)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True)
-        for pid in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=240)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("multihost worker timed out")
-        outs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
-        assert os.path.exists(tmp_path / f"ok_{pid}"), out[-2000:]
+    launch_workers(worker, 2, tmp_path)
