@@ -1,0 +1,29 @@
+#!/bin/bash
+# Probe the TPU tunnel until it answers, then drain the round-2 hardware
+# queue: measurement steps, the pytest TPU tier, bench.py, and the
+# config-5 long run.  Exactly one TPU process at a time (everything runs
+# sequentially in this loop).
+cd /root/repo || exit 1
+for i in $(seq 1 200); do
+  if timeout 180 python -c "import jax; d=jax.devices(); assert d and d[0].platform=='tpu', d; print(d)" \
+      > /tmp/tpu_probe.out 2>&1; then
+    echo "TPU up at attempt $i: $(cat /tmp/tpu_probe.out)"
+    echo "== round2_measure =="
+    timeout 5400 python scripts/round2_measure.py > results/round2_measure.log 2>&1
+    echo "measure exit: $?"
+    echo "== pytest tpu tier =="
+    FVT_TPU_TESTS=1 timeout 3600 python -m pytest tests/test_tpu_hw.py -q \
+      > results/tpu_tier.log 2>&1
+    echo "tpu tier exit: $?"
+    echo "== bench.py =="
+    timeout 3600 python bench.py > results/bench_r2.json 2> results/bench_r2.log
+    echo "bench exit: $?"
+    echo "== config5 =="
+    timeout 14400 python scripts/config5_run.py > results/config5.log 2>&1
+    echo "config5 exit: $?"
+    exit 0
+  fi
+  sleep 120
+done
+echo "TPU never came back"
+exit 1
