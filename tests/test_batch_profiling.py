@@ -19,6 +19,21 @@ def test_decode_batch_vmap(small_problem):
         np.testing.assert_array_equal(r.path[b], want.path)
 
 
+def test_decode_batch_host_driven(small_problem):
+    """Non-jittable decoders (sieve_bs family) can't be vmapped — the
+    batch path must loop them eagerly and still match per-sequence runs."""
+    hmm, y = small_problem
+    rng = np.random.RandomState(2)
+    ys = np.stack([y, rng.randint(0, hmm.M, len(y)).astype(np.int32)])
+    r = fvt.decode_batch(hmm, ys, algorithm="sieve_bs", beam_width=8,
+                         pad_to=1, warmup=False)
+    assert r.path.shape == ys.shape
+    for b in range(2):
+        want = fvt.decode(hmm, ys[b], algorithm="sieve_bs", beam_width=8,
+                          pad_to=1, warmup=False)
+        np.testing.assert_array_equal(r.path[b], want.path)
+
+
 def test_decode_batch_mesh(small_problem):
     hmm, y = small_problem
     ys = np.stack([y] * 4)
