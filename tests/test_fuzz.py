@@ -41,3 +41,32 @@ def test_exact_algorithms_agree(K, M, T, prob, seed):
         r = fvt.decode(hmm, y, algorithm=alg, pad_to=1, warmup=False, **kw)
         np.testing.assert_array_equal(r.path, want,
                                       err_msg=f"{alg} {kw} K={K} T={T}")
+
+
+SHARD_CASES = [
+    # (K, M, T, prob, seed, mesh_shape, segs) — odd K/T exercise padding
+    (33, 4, 26, 0.5, 206, (2, 2, 2), 4),
+    (56, 11, 40, 0.2, 203, (1, 2, 2), 6),
+    (72, 5, 23, 0.45, 204, (2, 2, 1), 4),
+]
+
+
+@pytest.mark.parametrize("K,M,T,prob,seed,mesh_shape,segs", SHARD_CASES)
+def test_sharded_agrees_with_single_chip_fuzz(K, M, T, prob, seed,
+                                              mesh_shape, segs):
+    """Random problems through the public mesh path (decode_batch) must be
+    bit-identical to per-sequence single-chip flash decodes."""
+    from flash_viterbi_tpu.parallel.sharded import make_mesh
+
+    hmm, y = fvt.make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+    rng = np.random.RandomState(seed)
+    ys = np.stack([np.asarray(y, np.int32),
+                   rng.randint(0, M, size=T).astype(np.int32)])
+    r = fvt.decode_batch(hmm, ys, mesh=make_mesh(*mesh_shape),
+                         num_segments=segs, warmup=False)
+    for b in range(2):
+        want = fvt.decode(hmm, ys[b], algorithm="flash", num_segments=segs,
+                          mode="pointer", use_pallas=False, warmup=False)
+        np.testing.assert_array_equal(
+            r.path[b], want.path,
+            err_msg=f"mesh={mesh_shape} segs={segs} K={K} T={T} b={b}")
