@@ -13,6 +13,7 @@ Quick start::
     print(result.path, result.time_s, result.memory_bytes)
 """
 
+from .algorithms import auto as _auto  # noqa: F401
 from .algorithms import base as _base  # noqa: F401
 from .algorithms import beam as _beam  # noqa: F401
 from .algorithms import checkpoint as _checkpoint  # noqa: F401

@@ -1,0 +1,115 @@
+"""Adaptive decoder selection — the "Adaptive" in FLASH made first-class.
+
+The reference leaves adaptivity to the user: its README only advises that
+"FLASH_BS [is] more memory-efficient for large state spaces; FLASH may be
+faster for small state spaces; performance depends on T and cores"
+(/root/reference/README.md:251-255), and every run hard-codes one
+algorithm at compile time.  Here ``algorithm="auto"`` picks the fastest
+exact decoder for the problem shape — calibrated against the measured
+single-chip rows in ``results/SCALE.md`` — and an optional
+``memory_budget_bytes`` filters candidates by their reference-style
+analytic working set (each decoder's ``analytic_memory``), falling back
+to the leanest mode when nothing fits.
+
+Measured ranking being encoded (TPU v5e, SCALE.md):
+
+* short/medium T: ``flash`` pointer N=8 (224 G upd/s) beats ``fused``
+  (177 G) and ``checkpoint`` (223 G) at the headline config;
+* long T (>= ~8K steps): ``checkpoint`` (146-223 G) beats the one-call
+  fused scan (57 G at T=65536) — per-step kernel overhead amortizes
+  differently — and avoids the (T, K) pointer table;
+* tiny T: the D&C machinery has nothing to split; plain ``fused``;
+* ``beam_width`` given: the beam family (``flash_bs``).
+
+Selection happens at trace time (shapes are static under jit), so "auto"
+is itself jittable and each distinct shape compiles its chosen decoder.
+"""
+
+from __future__ import annotations
+
+from .base import Decoder, build, register
+
+#: sequence length from which the checkpoint decoder's measured advantage
+#: over the fused/flash scans kicks in (SCALE.md long-T rows)
+LONG_T = 8192
+#: below this there is nothing worth segmenting
+TINY_T = 32
+
+
+def rank(K: int, T: int, beam_width: int | None = None) -> list[tuple[str, dict]]:
+    """Candidate (algorithm, static-kwargs) in measured-speed order;
+    the LAST entry is always the memory-leanest fallback."""
+    if beam_width is not None:
+        return [("flash_bs", {"beam_width": beam_width, "num_segments": 8}),
+                ("beam", {"beam_width": beam_width})]
+    if T < TINY_T:
+        return [("fused", {}), ("checkpoint", {})]
+    if T >= LONG_T:
+        return [("checkpoint", {}), ("flash", {"mode": "lean"})]
+    return [("flash", {"num_segments": 8}), ("checkpoint", {}),
+            ("fused", {}), ("flash", {"mode": "lean"})]
+
+
+def device_working_set(name: str, kw: dict, K: int, T: int) -> int:
+    """Implementation-honest peak HBM working set of a decoder's scratch
+    (excluding the model tables themselves, which every decoder holds).
+
+    This deliberately differs from ``analytic_memory`` — that figure is
+    *reference-exact* (it reproduces the C binaries' ``memory:`` output,
+    which accounts the lean algorithm), while the TPU pointer/fused modes
+    trade extra HBM for speed.  The budget filter must see that trade.
+    """
+    N = kw.get("num_segments", 8)
+    B = kw.get("beam_width", 64)
+    if name == "flash" and kw.get("mode") != "lean":
+        # per-round batched phase-2 pointer tables cover the sequence once
+        return T * K * 4 + 4 * K * 4
+    if name == "flash" :  # lean: O(N*K) planes + double buffers
+        return (2 * N + 4) * K * 4
+    if name == "checkpoint":
+        import math
+        step = max(1, int(math.isqrt(max(T, 1))))
+        return (T // step + 1) * K * 4 + step * K * 4
+    if name == "fused":
+        return T * K * 4 + 2 * K * 4      # (T, K) pointer table
+    if name == "vanilla":
+        return 2 * T * K * 4              # full T1 + T2 tables
+    if name in ("flash_bs", "beam"):
+        return T * B * 8 + 4 * B * 8
+    return T * K * 4
+
+
+def choose(K: int, T: int, memory_budget_bytes: int | None = None,
+           beam_width: int | None = None) -> tuple[str, dict]:
+    """The (algorithm, kwargs) ``auto`` will run for this shape."""
+    cands = rank(K, T, beam_width)
+    if memory_budget_bytes is not None:
+        for name, kw in cands:
+            if device_working_set(name, kw, K, T) <= memory_budget_bytes:
+                return name, kw
+        # nothing fits: the last candidate is the leanest by construction
+    return cands[0] if memory_budget_bytes is None else cands[-1]
+
+
+def _memory(K: int, T: int, memory_budget_bytes: int | None = None,
+            beam_width: int | None = None, **_) -> int:
+    name, kw = choose(K, T, memory_budget_bytes, beam_width)
+    return build(name, **kw).analytic_memory(K=K, T=T)
+
+
+@register("auto")
+def _build(memory_budget_bytes: int | None = None,
+           beam_width: int | None = None, **static) -> Decoder:
+    cache: dict = {}
+
+    def fn(logA, logB, logPi, y):
+        K, T = int(logA.shape[0]), int(y.shape[-1])
+        name, kw = choose(K, T, memory_budget_bytes, beam_width)
+        key = (name, tuple(sorted(kw.items())))
+        if key not in cache:
+            cache[key] = build(name, **kw, **static)
+        return cache[key](logA, logB, logPi, y)
+
+    return Decoder("auto", fn,
+                   {"memory_budget_bytes": memory_budget_bytes,
+                    "beam_width": beam_width, **static}, _memory)

@@ -94,3 +94,31 @@ def test_lean_leaf_hybrid(small_problem, leaf):
     l = decode(hmm, y, algorithm="flash", mode="lean", num_segments=4,
                lean_leaf=leaf, pad_to=1, warmup=False)
     np.testing.assert_array_equal(l.path, v.path)
+
+
+def test_auto_selection_rules():
+    """auto picks the measured-fastest family per shape and respects the
+    memory budget by falling back to leaner modes."""
+    from flash_viterbi_tpu.algorithms.auto import choose
+
+    assert choose(1024, 256) == ("flash", {"num_segments": 8})
+    assert choose(1024, 65536)[0] == "checkpoint"
+    assert choose(1024, 8)[0] == "fused"
+    assert choose(1024, 256, beam_width=64)[0] == "flash_bs"
+    # a budget below flash's pointer tables forces a leaner candidate
+    from flash_viterbi_tpu.algorithms.auto import device_working_set
+    flash_mem = device_working_set("flash", {"num_segments": 8}, 1024, 256)
+    name, kw = choose(1024, 256, memory_budget_bytes=flash_mem - 1)
+    assert (name, kw) != ("flash", {"num_segments": 8})
+    assert device_working_set(name, kw, 1024, 256) < flash_mem
+    # impossible budget: leanest fallback, never a crash
+    name, kw = choose(1024, 256, memory_budget_bytes=1)
+    assert (name, kw) == ("flash", {"mode": "lean"})
+
+
+def test_auto_decodes_and_matches_vanilla(small_problem):
+    hmm, y = small_problem
+    want = decode(hmm, y, algorithm="vanilla", pad_to=1, warmup=False)
+    got = decode(hmm, y, algorithm="auto", pad_to=1, warmup=False)
+    np.testing.assert_array_equal(got.path, want.path)
+    assert got.memory_bytes > 0
