@@ -107,7 +107,9 @@ def _build(memory_budget_bytes: int | None = None,
         name, kw = choose(K, T, memory_budget_bytes, beam_width)
         key = (name, tuple(sorted(kw.items())))
         if key not in cache:
-            cache[key] = build(name, **kw, **static)
+            # caller-supplied statics (e.g. num_segments, use_pallas)
+            # override the ranking's defaults
+            cache[key] = build(name, **{**kw, **static})
         return cache[key](logA, logB, logPi, y)
 
     return Decoder("auto", fn,

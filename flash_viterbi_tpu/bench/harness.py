@@ -93,7 +93,9 @@ def _parity(cfg, hmm, y, path, dec, tables):
 
     alg = cfg.algorithm
     bw = cfg.beam_width or 64
-    if alg in ("vanilla", "checkpoint", "flash", "fused"):
+    if alg == "auto" and cfg.beam_width is not None:
+        alg = "flash_bs"  # auto routes beamed problems to the beam family
+    if alg in ("vanilla", "checkpoint", "flash", "fused", "auto"):
         want = oracle.vanilla(hmm.A, hmm.B, hmm.Pi, y)
         return bool((path == want).all())
     if alg == "flash_bs":
