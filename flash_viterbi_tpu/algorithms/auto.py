@@ -14,7 +14,9 @@ to the leanest mode when nothing fits.
 Measured ranking being encoded (TPU v5e, SCALE.md):
 
 * short/medium T: ``flash`` pointer N=8 (224 G upd/s) beats ``fused``
-  (177 G) and ``checkpoint`` (223 G) at the headline config;
+  (177 G) and ``checkpoint`` (223 G) at the headline K=3965 — except at
+  VMEM-resident state counts (K <= 1024), where the resident-mode fused
+  scan measured fastest (243 G at K=1024, T=4096);
 * long T (>= ~8K steps): ``checkpoint`` (146-223 G) beats the one-call
   fused scan (57 G at T=65536) — per-step kernel overhead amortizes
   differently — and avoids the (T, K) pointer table;
@@ -23,9 +25,13 @@ Measured ranking being encoded (TPU v5e, SCALE.md):
 
 Selection happens at trace time (shapes are static under jit), so "auto"
 is itself jittable and each distinct shape compiles its chosen decoder.
+Selection sees the *padded* state count (the device arrays' true K) —
+the same K its working-set estimates are honest for.
 """
 
 from __future__ import annotations
+
+import math
 
 from .base import Decoder, build, register
 
@@ -34,18 +40,24 @@ from .base import Decoder, build, register
 LONG_T = 8192
 #: below this there is nothing worth segmenting
 TINY_T = 32
+#: largest K whose logA fits VMEM-resident (ops/pallas/maxplus.py)
+RESIDENT_MAX_K = 1024
 
 
 def rank(K: int, T: int, beam_width: int | None = None) -> list[tuple[str, dict]]:
-    """Candidate (algorithm, static-kwargs) in measured-speed order;
-    the LAST entry is always the memory-leanest fallback."""
+    """Candidate (algorithm, static-kwargs) in measured-speed order."""
     if beam_width is not None:
-        return [("flash_bs", {"beam_width": beam_width, "num_segments": 8}),
-                ("beam", {"beam_width": beam_width})]
+        # one candidate: the beamed D&C engine.  The dense `beam` decoder
+        # is NOT a fallback — its (T, B) tables are as large as flash_bs's
+        # and it measured slower; there is nothing leaner to fall to.
+        return [("flash_bs", {"beam_width": beam_width, "num_segments": 8})]
     if T < TINY_T:
         return [("fused", {}), ("checkpoint", {})]
     if T >= LONG_T:
         return [("checkpoint", {}), ("flash", {"mode": "lean"})]
+    if K <= RESIDENT_MAX_K:
+        return [("fused", {}), ("flash", {"num_segments": 8}),
+                ("checkpoint", {}), ("flash", {"mode": "lean"})]
     return [("flash", {"num_segments": 8}), ("checkpoint", {}),
             ("fused", {}), ("flash", {"mode": "lean"})]
 
@@ -64,10 +76,9 @@ def device_working_set(name: str, kw: dict, K: int, T: int) -> int:
     if name == "flash" and kw.get("mode") != "lean":
         # per-round batched phase-2 pointer tables cover the sequence once
         return T * K * 4 + 4 * K * 4
-    if name == "flash" :  # lean: O(N*K) planes + double buffers
+    if name == "flash":  # lean: O(N*K) planes + double buffers
         return (2 * N + 4) * K * 4
     if name == "checkpoint":
-        import math
         step = max(1, int(math.isqrt(max(T, 1))))
         return (T // step + 1) * K * 4 + step * K * 4
     if name == "fused":
@@ -80,38 +91,51 @@ def device_working_set(name: str, kw: dict, K: int, T: int) -> int:
 
 
 def choose(K: int, T: int, memory_budget_bytes: int | None = None,
-           beam_width: int | None = None) -> tuple[str, dict]:
-    """The (algorithm, kwargs) ``auto`` will run for this shape."""
-    cands = rank(K, T, beam_width)
-    if memory_budget_bytes is not None:
-        for name, kw in cands:
-            if device_working_set(name, kw, K, T) <= memory_budget_bytes:
-                return name, kw
-        # nothing fits: the last candidate is the leanest by construction
-    return cands[0] if memory_budget_bytes is None else cands[-1]
+           beam_width: int | None = None,
+           static: dict | None = None) -> tuple[str, dict]:
+    """The (algorithm, kwargs) ``auto`` will run for this shape.
 
-
-def _memory(K: int, T: int, memory_budget_bytes: int | None = None,
-            beam_width: int | None = None, **_) -> int:
-    name, kw = choose(K, T, memory_budget_bytes, beam_width)
-    return build(name, **kw).analytic_memory(K=K, T=T)
+    ``static`` carries caller overrides (num_segments, mode, ...): they
+    are merged into every candidate BEFORE the working-set filter, so the
+    budget is checked against the configuration that would actually run.
+    """
+    over = static or {}
+    cands = [(name, {**kw, **over}) for name, kw in rank(K, T, beam_width)]
+    if memory_budget_bytes is None:
+        return cands[0]
+    for name, kw in cands:
+        if device_working_set(name, kw, K, T) <= memory_budget_bytes:
+            return name, kw
+    # nothing fits: take the leanest candidate rather than crash —
+    # min() is stable, so ties keep the faster (earlier) entry
+    return min(cands, key=lambda c: device_working_set(c[0], c[1], K, T))
 
 
 @register("auto")
 def _build(memory_budget_bytes: int | None = None,
            beam_width: int | None = None, **static) -> Decoder:
     cache: dict = {}
+    last: dict = {"choice": None}
 
     def fn(logA, logB, logPi, y):
         K, T = int(logA.shape[0]), int(y.shape[-1])
-        name, kw = choose(K, T, memory_budget_bytes, beam_width)
+        name, kw = choose(K, T, memory_budget_bytes, beam_width, static)
+        last["choice"] = (name, kw)
         key = (name, tuple(sorted(kw.items())))
         if key not in cache:
-            # caller-supplied statics (e.g. num_segments, use_pallas)
-            # override the ranking's defaults
-            cache[key] = build(name, **{**kw, **static})
+            cache[key] = build(name, **kw)
         return cache[key](logA, logB, logPi, y)
+
+    def memory(K: int, T: int, **_) -> int:
+        # after a decode, report the decoder that actually ran (selection
+        # happened at the padded K; re-deriving from the logical K here
+        # could disagree near a budget threshold)
+        if last["choice"] is not None:
+            name, kw = last["choice"]
+        else:
+            name, kw = choose(K, T, memory_budget_bytes, beam_width, static)
+        return build(name, **kw).analytic_memory(K=K, T=T)
 
     return Decoder("auto", fn,
                    {"memory_budget_bytes": memory_budget_bytes,
-                    "beam_width": beam_width, **static}, _memory)
+                    "beam_width": beam_width, **static}, memory)

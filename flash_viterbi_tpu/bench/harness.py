@@ -159,7 +159,10 @@ def run_one(cfg: RunConfig) -> dict:
                                  seed=cfg.seed)
 
     static = dict(cfg.extra)
-    if cfg.algorithm in ("flash", "flash_bs"):
+    if cfg.algorithm in ("flash", "flash_bs", "auto"):
+        # for "auto" this flows through as a static override, so a routed
+        # flash/flash_bs runs with the same segment count its parity
+        # mirror below is checked with
         static.setdefault("num_segments", cfg.num_segments)
     if cfg.beam_width is not None:
         static.setdefault("beam_width", cfg.beam_width)

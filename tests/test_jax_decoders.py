@@ -99,21 +99,31 @@ def test_lean_leaf_hybrid(small_problem, leaf):
 def test_auto_selection_rules():
     """auto picks the measured-fastest family per shape and respects the
     memory budget by falling back to leaner modes."""
-    from flash_viterbi_tpu.algorithms.auto import choose
+    from flash_viterbi_tpu.algorithms.auto import choose, device_working_set
 
-    assert choose(1024, 256) == ("flash", {"num_segments": 8})
+    assert choose(4096, 256) == ("flash", {"num_segments": 8})
+    assert choose(1024, 256) == ("fused", {})  # VMEM-resident K
     assert choose(1024, 65536)[0] == "checkpoint"
     assert choose(1024, 8)[0] == "fused"
-    assert choose(1024, 256, beam_width=64)[0] == "flash_bs"
+    assert choose(4096, 256, beam_width=64)[0] == "flash_bs"
+    # a tiny budget can't shrink the beamed engine further: flash_bs is
+    # already the only (and leanest) beamed candidate
+    assert choose(4096, 256, memory_budget_bytes=1, beam_width=64)[0] == "flash_bs"
     # a budget below flash's pointer tables forces a leaner candidate
-    from flash_viterbi_tpu.algorithms.auto import device_working_set
-    flash_mem = device_working_set("flash", {"num_segments": 8}, 1024, 256)
-    name, kw = choose(1024, 256, memory_budget_bytes=flash_mem - 1)
+    flash_mem = device_working_set("flash", {"num_segments": 8}, 4096, 256)
+    name, kw = choose(4096, 256, memory_budget_bytes=flash_mem - 1)
     assert (name, kw) != ("flash", {"num_segments": 8})
-    assert device_working_set(name, kw, 1024, 256) < flash_mem
-    # impossible budget: leanest fallback, never a crash
-    name, kw = choose(1024, 256, memory_budget_bytes=1)
-    assert (name, kw) == ("flash", {"mode": "lean"})
+    assert device_working_set(name, kw, 4096, 256) < flash_mem
+    # impossible budget: leanest fallback (lean flash), never a crash
+    name, kw = choose(4096, 256, memory_budget_bytes=1)
+    assert (name, kw["mode"]) == ("flash", "lean")
+    # caller overrides reach the budget filter: more lean segments = more
+    # planes = bigger working set
+    ws8 = device_working_set("flash", {"mode": "lean", "num_segments": 8}, 4096, 256)
+    ws32 = device_working_set("flash", {"mode": "lean", "num_segments": 32}, 4096, 256)
+    assert ws32 > ws8
+    name, kw = choose(4096, 256, memory_budget_bytes=1, static={"num_segments": 32})
+    assert kw["num_segments"] == 32
 
 
 def test_auto_decodes_and_matches_vanilla(small_problem):
