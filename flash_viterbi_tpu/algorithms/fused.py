@@ -17,10 +17,13 @@ T) live in ``algorithms.flash``; the sharded multi-chip path in
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from ..ops import maxplus as mp
+from ..ops.pallas.backtrack import backtrack_pallas
 from ..ops.pallas.maxplus import (forward_scan_pallas, kernel_supported,
                                   maxplus_scan)
 from .base import Decoder, register
@@ -47,8 +50,11 @@ def fused_decode(logA, logB, logPi, y, use_pallas: bool | str = "auto",
         interpret = jax.default_backend() != "tpu"
         dfin, ptrs = forward_scan_pallas(delta0, logA, emits[1:],
                                          interpret=interpret)
-    else:
-        dfin, ptrs = mp.forward_scan(delta0, logA, emits[1:])
+        last = mp.argmax_final(dfin)
+        # chunk-streamed pointer walk: the XLA backtrack's T dependent
+        # row-reads dominate long-T decodes (results/SCALE.md 57 G row)
+        return backtrack_pallas(ptrs, last, interpret=interpret)
+    dfin, ptrs = mp.forward_scan(delta0, logA, emits[1:])
     last = mp.argmax_final(dfin)
     return mp.backtrack(ptrs, last)
 
@@ -75,12 +81,15 @@ def fused_decode_batch(logA, logB, logPi, ys, use_pallas: bool | str = "auto",
     if use_pallas:
         interpret = jax.default_backend() != "tpu"
         dfin, ptrs = maxplus_scan(logA, emits[1:], delta0, interpret=interpret)
-    else:
-        def step(d, e):
-            scores = d[:, :, None] + logA[None, :, :]
-            return jnp.max(scores, axis=1) + e, jnp.argmax(scores, axis=1).astype(jnp.int32)
+        last = jnp.argmax(dfin, axis=1).astype(jnp.int32)  # (Bs,)
+        walk = functools.partial(backtrack_pallas, interpret=interpret)
+        return jax.vmap(walk, in_axes=(1, 0))(ptrs, last)  # (Bs, T)
 
-        dfin, ptrs = jax.lax.scan(step, delta0, emits[1:])
+    def step(d, e):
+        scores = d[:, :, None] + logA[None, :, :]
+        return jnp.max(scores, axis=1) + e, jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+    dfin, ptrs = jax.lax.scan(step, delta0, emits[1:])
     last = jnp.argmax(dfin, axis=1).astype(jnp.int32)  # (Bs,)
     return jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, last)  # (Bs, T)
 

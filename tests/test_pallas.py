@@ -183,3 +183,33 @@ def test_flash_bs_kernel_phase1_matches_xla(medium_problem):
     b = np.asarray(flash_bs_decode(logA, logB, logPi, yd, beam_width=16,
                                    num_segments=4, use_pallas=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_backtrack_kernel_matches_xla():
+    """Chunk-streamed Pallas backtrack vs the XLA reverse scan, including
+    non-multiple-of-chunk T (identity-row padding) and tiny shapes."""
+    from flash_viterbi_tpu.ops.pallas.backtrack import backtrack_pallas
+
+    rng = np.random.default_rng(42)
+    for T, K in [(1, 8), (7, 16), (64, 128), (130, 256), (513, 384), (1000, 64)]:
+        ptrs = jnp.asarray(rng.integers(0, K, size=(T, K)).astype(np.int32))
+        last = jnp.asarray(np.int32(rng.integers(0, K)))
+        ref = mp.backtrack(ptrs, last)
+        got = backtrack_pallas(ptrs, last, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_backtrack_kernel_batched():
+    """vmap over the lane axis (the fused_decode_batch dispatch shape)."""
+    import functools
+
+    from flash_viterbi_tpu.ops.pallas.backtrack import backtrack_pallas
+
+    rng = np.random.default_rng(3)
+    T, Bs, K = 37, 4, 128
+    ptrs = jnp.asarray(rng.integers(0, K, size=(T, Bs, K)).astype(np.int32))
+    last = jnp.asarray(rng.integers(0, K, size=(Bs,)).astype(np.int32))
+    ref = jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, last)
+    walk = functools.partial(backtrack_pallas, interpret=True)
+    got = jax.vmap(walk, in_axes=(1, 0))(ptrs, last)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

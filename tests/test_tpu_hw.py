@@ -123,3 +123,20 @@ def test_flash_bs_kernel_on_hw(tpu_backend):
     b = np.asarray(flash_bs_decode(logA, logB, logPi, yd, beam_width=16,
                                    num_segments=4, use_pallas=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_backtrack_kernel_on_hw(tpu_backend):
+    """Chunk-streamed pointer walk on real Mosaic (dynamic-sublane reads,
+    lane-select gather) vs the XLA reverse scan."""
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.ops import maxplus as mp
+    from flash_viterbi_tpu.ops.pallas.backtrack import backtrack_pallas
+
+    rng = np.random.RandomState(5)
+    for T, K in [(48, 128), (130, 256), (1000, 512)]:
+        ptrs = jnp.asarray(rng.randint(0, K, size=(T, K)).astype(np.int32))
+        last = jnp.asarray(np.int32(rng.randint(0, K)))
+        a = np.asarray(mp.backtrack(ptrs, last))
+        b = np.asarray(backtrack_pallas(ptrs, last))
+        np.testing.assert_array_equal(a, b)
