@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import maxplus as mp
+from ..ops.pallas.backtrack import backtrack_pallas
 from ..ops.pallas.maxplus import (
     emitgather_supported,
     kernel_supported,
@@ -86,7 +87,9 @@ def checkpoint_decode_pallas(logA, logB, logPi, y, step: int = 0):
     for (lo, hi), snap in zip(reversed(list(zip(bounds[:-1], bounds[1:]))),
                               reversed(snaps[:-1])):
         _, ptrs = run_chunk(snap, lo, hi)
-        seg = mp.backtrack(ptrs, state)  # states for times lo..hi
+        # chunk-streamed walk: the XLA backtrack's dependent row reads cost
+        # ~step HBM latencies per chunk, the kernel one streamed DMA pass
+        seg = backtrack_pallas(ptrs, state, interpret=interp)  # times lo..hi
         pieces.append(seg[1:])
         state = seg[0]
     pieces.append(state[None])

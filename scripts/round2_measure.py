@@ -108,6 +108,55 @@ def main():
                 "path_match": match}
 
     step("sharded_111_K16384_T4096", sharded_vs_fused)
+
+    def fused_longT_backtrack():
+        """Explain the round-1 57 G long-T anomaly: split the one-call fused
+        decode at K=1024, T=65536 into forward scan vs backtrack, and time
+        the XLA reverse scan against the new chunk-streamed Pallas walk."""
+        import jax
+        import jax.numpy as jnp
+
+        from flash_viterbi_tpu.models.generate import make_sparse_hmm
+        from flash_viterbi_tpu.ops import maxplus as mp
+        from flash_viterbi_tpu.ops.pallas.backtrack import backtrack_pallas
+        from flash_viterbi_tpu.ops.pallas.maxplus import forward_scan_pallas
+
+        K, T = 1024, 65536
+        hmm, y = make_sparse_hmm(K=K, M=50, T=T, prob=0.112, seed=1)
+        lh = hmm.log()
+        logA = jnp.asarray(lh.logA)
+        emits = jnp.asarray(lh.logB)[:, jnp.asarray(np.asarray(y, np.int32))].T
+        delta0 = jnp.asarray(lh.logPi) + emits[0]
+
+        fwd = jax.jit(forward_scan_pallas)
+        bt_xla = jax.jit(mp.backtrack)
+        bt_pl = jax.jit(backtrack_pallas)
+
+        def timed(fn, *a):
+            out = fn(*a)          # compile + warm
+            jax.tree.map(lambda x: x.block_until_ready(), out)
+            walls = []
+            for _ in range(3):
+                t0 = time.time()
+                out = fn(*a)
+                # scalar readback = real sync through the tunnel
+                leaf = jax.tree.leaves(out)[-1]
+                int(np.asarray(leaf.ravel()[:1])[0])
+                walls.append(time.time() - t0)
+            return out, min(walls)
+
+        (dfin, ptrs), w_fwd = timed(fwd, delta0, logA, emits[1:])
+        last = mp.argmax_final(dfin)
+        p_xla, w_xla = timed(bt_xla, ptrs, last)
+        p_pl, w_pl = timed(bt_pl, ptrs, last)
+        match = bool((np.asarray(p_xla) == np.asarray(p_pl)).all())
+        return {"config": f"K{K}xT{T}", "forward_s": round(w_fwd, 4),
+                "backtrack_xla_s": round(w_xla, 4),
+                "backtrack_pallas_s": round(w_pl, 4),
+                "fused_upd_per_s": (T - 1.0) * K * K / (w_fwd + w_pl),
+                "paths_match": match}
+
+    step("fused_longT_backtrack", fused_longT_backtrack)
     emit(step="DONE")
 
 
