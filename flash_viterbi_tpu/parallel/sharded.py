@@ -64,6 +64,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..algorithms.flash import flash_midpoints
 from ..ops import maxplus as mp
+from ..ops.pallas.backtrack import backtrack_pallas
 from ..ops.pallas.maxplus import (
     kernel_supported,
     maxplus_scan,
@@ -324,11 +325,20 @@ def _flash_decode_pipelined(mesh, logA, logBT, logPi, ys, L: int, spd: int,
                 parts = [ptrs]
 
             # backtrack part-wise, chaining boundary states — never
-            # concatenates the (multi-GB at config-5 scale) pointer tables
+            # concatenates the (multi-GB at config-5 scale) pointer tables.
+            # On the kernel path the walk itself is the chunk-streamed
+            # Pallas kernel (the XLA reverse scan costs one dependent HBM
+            # gather round-trip per step — Lseg of them per segment).
+            if use_kernel and n_state == 1:
+                walk = jax.vmap(
+                    partial(backtrack_pallas, interpret=interpret),
+                    in_axes=(1, 0))
+            else:
+                walk = jax.vmap(mp.backtrack, in_axes=(1, 0))
             state = exits
             pieces = []
             for ptr_part in reversed(parts):
-                walked = jax.vmap(mp.backtrack, in_axes=(1, 0))(ptr_part, state)
+                walked = walk(ptr_part, state)
                 pieces.append(walked[:, 1:])
                 state = walked[:, 0]
             pieces.append(state[:, None])
