@@ -140,3 +140,21 @@ def test_backtrack_kernel_on_hw(tpu_backend):
         a = np.asarray(mp.backtrack(ptrs, last))
         b = np.asarray(backtrack_pallas(ptrs, last))
         np.testing.assert_array_equal(a, b)
+
+
+def test_backtrack_kernel_batched_on_hw(tpu_backend):
+    """vmap-of-pallas_call on real Mosaic — the fused_decode_batch dispatch
+    (batching adds a leading grid dim; interpreter agreement isn't enough)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.ops import maxplus as mp
+    from flash_viterbi_tpu.ops.pallas.backtrack import backtrack_pallas
+
+    rng = np.random.RandomState(7)
+    T, Bs, K = 130, 4, 256
+    ptrs = jnp.asarray(rng.randint(0, K, size=(T, Bs, K)).astype(np.int32))
+    last = jnp.asarray(rng.randint(0, K, size=(Bs,)).astype(np.int32))
+    a = np.asarray(jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, last))
+    b = np.asarray(jax.vmap(backtrack_pallas, in_axes=(1, 0))(ptrs, last))
+    np.testing.assert_array_equal(a, b)
