@@ -191,7 +191,9 @@ def test_backtrack_kernel_matches_xla():
     from flash_viterbi_tpu.ops.pallas.backtrack import backtrack_pallas
 
     rng = np.random.default_rng(42)
-    for T, K in [(1, 8), (7, 16), (64, 128), (130, 256), (513, 384), (1000, 64)]:
+    # (12, 16384) pins the config-5 K: chunk clamps to the 2 MB DMA budget
+    for T, K in [(1, 8), (7, 16), (64, 128), (130, 256), (513, 384),
+                 (1000, 64), (12, 16384)]:
         ptrs = jnp.asarray(rng.integers(0, K, size=(T, K)).astype(np.int32))
         last = jnp.asarray(np.int32(rng.integers(0, K)))
         ref = mp.backtrack(ptrs, last)
