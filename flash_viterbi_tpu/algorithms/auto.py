@@ -17,9 +17,11 @@ Measured ranking being encoded (TPU v5e, SCALE.md):
   (177 G) and ``checkpoint`` (223 G) at the headline K=3965 — except at
   VMEM-resident state counts (K <= 1024), where the resident-mode fused
   scan measured fastest (243 G at K=1024, T=4096);
-* long T (>= ~8K steps): ``checkpoint`` (146-223 G) beats the one-call
-  fused scan (57 G at T=65536) — per-step kernel overhead amortizes
-  differently — and avoids the (T, K) pointer table;
+* long T (>= ~8K steps): ``checkpoint`` (146-223 G) measured ahead of the
+  one-call fused scan (57 G at T=65536 — a gap since traced to the XLA
+  backtrack's serial HBM gathers, now replaced by the chunk-streamed
+  backtrack kernel and re-measured by the round-2 hardware queue) and,
+  decisively, it never materializes the (T, K) pointer table;
 * tiny T: the D&C machinery has nothing to split; plain ``fused``;
 * ``beam_width`` given: the beam family (``flash_bs``).
 
@@ -31,17 +33,22 @@ the same K its working-set estimates are honest for.
 
 from __future__ import annotations
 
-import math
-
+from ..ops.pallas.maxplus import RESIDENT_MAX_K
 from .base import Decoder, build, register
+from .checkpoint import snapshot_step
+from .flash import LEAF_LANES, LEAN_CHUNK, LEAN_LEAF
 
-#: sequence length from which the checkpoint decoder's measured advantage
-#: over the fused/flash scans kicks in (SCALE.md long-T rows)
+#: sequence length from which the checkpoint decoder is preferred: it
+#: avoids the (T, K) pointer table entirely (268 MB at K=1024/T=65536,
+#: unusable at config-5 K), and measured 146-223 G upd/s at long T
+#: (SCALE.md).  The fused scan's long-T gap was traced to its XLA
+#: backtrack (one dependent HBM gather per step) — the chunk-streamed
+#: backtrack kernel removes that; the round-2 hardware queue re-measures
+#: the two head-to-head (scripts/round2_measure.py::fused_longT_backtrack)
+#: and this threshold follows the data.
 LONG_T = 8192
 #: below this there is nothing worth segmenting
 TINY_T = 32
-#: largest K whose logA fits VMEM-resident (ops/pallas/maxplus.py)
-RESIDENT_MAX_K = 1024
 
 
 def rank(K: int, T: int, beam_width: int | None = None) -> list[tuple[str, dict]]:
@@ -76,13 +83,33 @@ def device_working_set(name: str, kw: dict, K: int, T: int) -> int:
     if name == "flash" and kw.get("mode") != "lean":
         # per-round batched phase-2 pointer tables cover the sequence once
         return T * K * 4 + 4 * K * 4
-    if name == "flash":  # lean: O(N*K) planes + double buffers
-        return (2 * N + 4) * K * 4
+    if name == "flash":
+        # hybrid lean (flash.flash_decode mode="lean"): peak is the larger
+        # of (a) a lean round's streamed pointer chunk over all S live
+        # intervals plus their (delta, t2) carries, S bounded by the last
+        # pre-leaf round (intervals of length ~2*LEAN_LEAF), and (b) the
+        # leaf pass's (LEAN_LEAF-1, LEAF_LANES, K) pointer table — plus the
+        # O(N*K) anchor planes.  Mirrors _lean_round_pallas/_decode_leaves.
+        leaf = int(kw.get("lean_leaf", LEAN_LEAF))
+        if leaf <= 0:  # pure lean: no leaf pass, rounds split to length 2
+            s_max = max(N, (T + 3) // 4)
+            return (2 * LEAN_CHUNK + 2) * s_max * K * 4 + (2 * N + 4) * K * 4
+        seg_len = -(-T // max(N, 1))
+        if seg_len <= leaf:  # segments go straight to leaves, no rounds
+            round_b = 0
+            llen, n_leaves = seg_len, N
+        else:
+            s_max = max(N, T // max(2 * leaf, 1))
+            # x2: the gathered emissions chunk is live alongside the pointers
+            round_b = (2 * LEAN_CHUNK + 2) * s_max * K * 4
+            llen, n_leaves = leaf, max(1, -(-T // max(leaf, 2)))
+        leaf_b = 2 * max(llen - 1, 1) * min(LEAF_LANES, n_leaves) * K * 4
+        return max(round_b, leaf_b) + (2 * N + 4) * K * 4
     if name == "checkpoint":
-        step = max(1, int(math.isqrt(max(T, 1))))
+        step = snapshot_step(T)  # what checkpoint_decode_pallas runs
         return (T // step + 1) * K * 4 + step * K * 4
     if name == "fused":
-        return T * K * 4 + 2 * K * 4      # (T, K) pointer table
+        return build("fused").analytic_memory(K=K, T=T)  # honest for fused
     if name == "vanilla":
         return 2 * T * K * 4              # full T1 + T2 tables
     if name in ("flash_bs", "beam"):
@@ -115,25 +142,29 @@ def choose(K: int, T: int, memory_budget_bytes: int | None = None,
 def _build(memory_budget_bytes: int | None = None,
            beam_width: int | None = None, **static) -> Decoder:
     cache: dict = {}
-    last: dict = {"choice": None}
+    last: dict = {"choice": None, "shape": None}
 
     def fn(logA, logB, logPi, y):
         K, T = int(logA.shape[0]), int(y.shape[-1])
         name, kw = choose(K, T, memory_budget_bytes, beam_width, static)
-        last["choice"] = (name, kw)
+        last["choice"], last["shape"] = (name, kw), (K, T)
         key = (name, tuple(sorted(kw.items())))
         if key not in cache:
             cache[key] = build(name, **kw)
         return cache[key](logA, logB, logPi, y)
 
     def memory(K: int, T: int, **_) -> int:
-        # after a decode, report the decoder that actually ran (selection
-        # happened at the padded K; re-deriving from the logical K here
-        # could disagree near a budget threshold)
+        # report the decoder that actually ran for THIS shape: selection
+        # happened at the padded K (trace shape), so accept a recorded
+        # choice only if it came from this T and a K within one padding
+        # granule — re-derive otherwise (a reused Decoder may have last
+        # decoded a completely different shape)
         if last["choice"] is not None:
-            name, kw = last["choice"]
-        else:
-            name, kw = choose(K, T, memory_budget_bytes, beam_width, static)
+            lk, lt = last["shape"]
+            if lt == T and 0 <= lk - K < 128:
+                name, kw = last["choice"]
+                return build(name, **kw).analytic_memory(K=K, T=T)
+        name, kw = choose(K, T, memory_budget_bytes, beam_width, static)
         return build(name, **kw).analytic_memory(K=K, T=T)
 
     return Decoder("auto", fn,

@@ -30,6 +30,14 @@ from ..ops.pallas.maxplus import (
 from .base import Decoder, register
 
 
+def snapshot_step(T: int) -> int:
+    """Snapshot spacing the kernel path actually runs: √T chunks, but
+    per-kernel-call overhead dominates past ~100 chunks on the remote
+    runtime — the call count is capped at long T.  Exposed so working-set
+    models (``algorithms.auto``) see the same figure the decode uses."""
+    return max(int(math.floor(math.sqrt(max(T, 1)))), min(1024, T // 64))
+
+
 def checkpoint_decode_pallas(logA, logB, logPi, y, step: int = 0):
     """√T-checkpoint decode on the fused kernel.
 
@@ -46,9 +54,7 @@ def checkpoint_decode_pallas(logA, logB, logPi, y, step: int = 0):
     T = y.shape[0]
     K = logA.shape[0]
     if step <= 0:
-        # sqrt(T) chunks, but per-kernel-call overhead dominates past ~100
-        # chunks on the remote runtime — cap the call count at long T
-        step = max(int(math.floor(math.sqrt(T))), min(1024, T // 64))
+        step = snapshot_step(T)
     from .flash import _pallas_interpret
 
     interp = _pallas_interpret()

@@ -43,7 +43,8 @@ def _pick_chunk(Tm: int, K: int) -> int:
     return max(8, min(c, -(-Tm // 8) * 8))
 
 
-def _bt_kernel(last_ref, ptrs_ref, path_ref, state_ref, *, C: int, K: int):
+def _bt_kernel(last_ref, ptrs_ref, path_ref, state_ref, *, C: int, K: int,
+               R: int):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -61,8 +62,12 @@ def _bt_kernel(last_ref, ptrs_ref, path_ref, state_ref, *, C: int, K: int):
         acc = jnp.where(cpos == c, prev, acc)
         return prev, acc
 
+    # grid step 0 chases the LAST chunk, which is ragged when C does not
+    # divide T': only its first R rows exist — start the reverse walk there
+    # (rows >= R of the edge block are Pallas padding, never read)
+    start = jnp.where(g == 0, C - R, 0)
     st, acc = jax.lax.fori_loop(
-        0, C, body, (state_ref[0], jnp.zeros((1, C), jnp.int32)))
+        start, C, body, (state_ref[0], jnp.zeros((1, C), jnp.int32)))
     path_ref[:] = acc
     state_ref[0] = st
 
@@ -84,14 +89,9 @@ def backtrack_pallas(ptrs: jax.Array, last_state: jax.Array,
         return last
     C = _pick_chunk(Tm, K)
     G = -(-Tm // C)
-    if G * C != Tm:
-        # pad with identity rows: row[state] == state, a no-op for the
-        # carry; the padded output positions are sliced off below
-        pad = jnp.broadcast_to(
-            jax.lax.iota(jnp.int32, K)[None, :], (G * C - Tm, K))
-        ptrs = jnp.concatenate([ptrs, pad])
+    R = Tm - (G - 1) * C  # valid rows in the ragged tail chunk (== C if even)
 
-    kernel = functools.partial(_bt_kernel, C=C, K=K)
+    kernel = functools.partial(_bt_kernel, C=C, K=K, R=R)
     out = pl.pallas_call(
         kernel,
         grid=(G,),

@@ -137,7 +137,8 @@ def _scan_kernel(delta0_ref, logA_ref, emits_ref, dfin_ref, ptr_ref,
 # Below this state count the whole logA matrix stays VMEM-resident and the
 # time loop runs inside the kernel — zero HBM re-streaming per step, which
 # is what makes small-K long-T decoding VPU-bound instead of launch-bound.
-_RESIDENT_MAX_K = 1024
+# (RESIDENT_MAX_K is the public name — ranking heuristics key off it.)
+_RESIDENT_MAX_K = RESIDENT_MAX_K = 1024
 _RESIDENT_CHUNK = 128
 
 

@@ -114,16 +114,59 @@ def test_auto_selection_rules():
     name, kw = choose(4096, 256, memory_budget_bytes=flash_mem - 1)
     assert (name, kw) != ("flash", {"num_segments": 8})
     assert device_working_set(name, kw, 4096, 256) < flash_mem
-    # impossible budget: leanest fallback (lean flash), never a crash
+    # impossible budget: falls back to the candidate with the smallest
+    # honest working set, never a crash.  With implementation-honest
+    # scratch models that is checkpoint at short T (hybrid lean's leaf
+    # pointer tables outweigh √T snapshots), and it must be minimal.
     name, kw = choose(4096, 256, memory_budget_bytes=1)
-    assert (name, kw["mode"]) == ("flash", "lean")
-    # caller overrides reach the budget filter: more lean segments = more
-    # planes = bigger working set
-    ws8 = device_working_set("flash", {"mode": "lean", "num_segments": 8}, 4096, 256)
-    ws32 = device_working_set("flash", {"mode": "lean", "num_segments": 32}, 4096, 256)
-    assert ws32 > ws8
+    cands = ["flash", "checkpoint", "fused"]
+    ws = {n: device_working_set(n, {"mode": "lean"} if n == "flash" else {},
+                                4096, 256) for n in cands}
+    assert name == min(ws, key=ws.get) == "checkpoint"
+    # caller overrides reach the budget filter: pure lean (lean_leaf=0)
+    # re-scans with up to T/4 live intervals — a bigger streamed working
+    # set than the hybrid's capped leaf pass
+    ws_h = device_working_set("flash", {"mode": "lean"}, 4096, 256)
+    ws_p = device_working_set("flash", {"mode": "lean", "lean_leaf": 0}, 4096, 256)
+    assert ws_p > ws_h
     name, kw = choose(4096, 256, memory_budget_bytes=1, static={"num_segments": 32})
     assert kw["num_segments"] == 32
+
+
+def test_auto_working_set_models_real_decode():
+    """The budget filter must model the scratch the decode actually runs:
+    checkpoint's snapshot spacing is the capped long-T step, not isqrt."""
+    from flash_viterbi_tpu.algorithms.auto import device_working_set
+    from flash_viterbi_tpu.algorithms.checkpoint import snapshot_step
+
+    K, T = 16384, 65536
+    step = snapshot_step(T)
+    assert step == 1024  # the long-T cap checkpoint_decode_pallas uses
+    got = device_working_set("checkpoint", {}, K, T)
+    assert got == (T // step + 1) * K * 4 + step * K * 4
+    # the config-5 figure the round-1 model underestimated ~2x: ~71 MB
+    assert got > 60 * 1024 * 1024
+
+
+def test_auto_memory_reporting_tracks_shape():
+    """A reused auto Decoder must not report a stale choice recorded for a
+    different shape (build() is public API; decode() rebuilds per call)."""
+    from flash_viterbi_tpu.algorithms.auto import choose
+    from flash_viterbi_tpu.algorithms.base import build
+
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.models.generate import make_sparse_hmm
+
+    d = build("auto")
+    hmm, y = make_sparse_hmm(K=48, M=8, T=40, prob=0.2, seed=3)
+    lh = hmm.log()
+    d(jnp.asarray(lh.logA), jnp.asarray(lh.logB), jnp.asarray(lh.logPi),
+      jnp.asarray(np.asarray(y), jnp.int32))  # records choice for (48, 40)
+    # reporting for an unrelated long-T shape must re-derive its choice
+    name, kw = choose(1024, 65536)
+    want = build(name, **kw).analytic_memory(K=1024, T=65536)
+    assert d.analytic_memory(K=1024, T=65536) == want
 
 
 def test_auto_decodes_and_matches_vanilla(small_problem):
