@@ -16,6 +16,8 @@ overhead.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -26,6 +28,23 @@ BASELINE_UPDATES_PER_S = (3965.0**2 * 256.0) / 672.6  # C SIEVE-Mp, README.md:79
 K1, K2 = 1, 5  # chain lengths for marginal timing
 
 
+def _tpu_answers(timeout_s: float = 240.0) -> bool:
+    """Probe device enumeration in a CHILD process with a timeout.
+
+    The axon TPU plugin's ``jax.devices()`` blocks indefinitely while the
+    tunnel is down; probing in a child keeps this process un-wedgeable, so
+    a scheduled bench run always produces its JSON line (with an explicit
+    ``tpu_unreachable`` marker) instead of hanging the harness.
+    """
+    code = "import jax; d = jax.devices(); assert d[0].platform == 'tpu', d"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     global K, M, T, PROB
     if "--smoke" in sys.argv:
@@ -34,7 +53,17 @@ def main() -> None:
         K1, K2 = 1, 17  # tiny decode: longer chain so the marginal
         # signal clears the ~ms sync-noise floor
 
+    # fall back to CPU (with a marker) when the TPU plugin is registered
+    # but its tunnel does not answer — never hang the round's bench run
+    tpu_unreachable = False
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and "--cpu" not in sys.argv:
+        if not _tpu_answers():
+            tpu_unreachable = True
+
     import jax
+
+    if tpu_unreachable or "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from flash_viterbi_tpu import make_sparse_hmm
@@ -95,7 +124,7 @@ def main() -> None:
               file=sys.stderr)
 
     updates_per_s = (K * K * T) / wall
-    print(json.dumps({
+    row = {
         "metric": "trellis_updates_per_s",
         "value": updates_per_s,
         "unit": "updates/s",
@@ -104,7 +133,10 @@ def main() -> None:
         "config": f"K={K},T={T},prob={PROB},flash N=8 pallas={on_tpu}",
         "exact_path_parity": parity,
         "device": str(dev),
-    }))
+    }
+    if tpu_unreachable:
+        row["tpu_unreachable"] = True  # CPU fallback figure, not the chip's
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
