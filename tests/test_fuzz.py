@@ -70,3 +70,33 @@ def test_sharded_agrees_with_single_chip_fuzz(K, M, T, prob, seed,
         np.testing.assert_array_equal(
             r.path[b], want.path,
             err_msg=f"mesh={mesh_shape} segs={segs} K={K} T={T} b={b}")
+
+
+@pytest.mark.parametrize("K,M,T,prob,seed", CASES)
+def test_auto_budgeted_always_exact(K, M, T, prob, seed):
+    """Whatever decoder a memory budget forces auto into — including the
+    nothing-fits leanest fallback — the decoded path stays exact, and the
+    selected candidate's modeled working set respects a satisfiable
+    budget."""
+    from flash_viterbi_tpu.algorithms.auto import choose, device_working_set
+
+    hmm, y = fvt.make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+    want = ofw.vanilla(hmm.A, hmm.B, hmm.Pi, y)
+    rng = np.random.RandomState(seed)
+    # budgets spanning generous → impossible (log-uniform over bytes)
+    budgets = [None] + [int(10 ** rng.uniform(2, 9)) for _ in range(4)]
+    for budget in budgets:
+        r = fvt.decode(hmm, y, algorithm="auto", pad_to=1, warmup=False,
+                       memory_budget_bytes=budget)
+        np.testing.assert_array_equal(
+            r.path, want, err_msg=f"budget={budget} K={K} T={T}")
+        if budget is not None:
+            name, kw = choose(K, T, memory_budget_bytes=budget)
+            ws = device_working_set(name, kw, K, T)
+            fits_any = any(
+                device_working_set(n, k, K, T) <= budget
+                for n, k in [("flash", {"num_segments": 8}),
+                             ("flash", {"mode": "lean"}),
+                             ("checkpoint", {}), ("fused", {})])
+            if fits_any:
+                assert ws <= budget, (name, kw, ws, budget)
