@@ -66,6 +66,16 @@ def main():
     step("sieve_bs_mp_headline", lambda: harness_row(
         algorithm="sieve_bs_mp", K=3965, M=50, T=256, prob=0.112, seed=1,
         beam_width=64))
+    # hardware rows for the round-2 decoders (none measured on chip yet)
+    step("auto_headline", lambda: harness_row(
+        algorithm="auto", K=3965, M=50, T=256, prob=0.112, seed=1))
+    step("sieve_bs_K512", lambda: harness_row(
+        algorithm="sieve_bs", K=512, M=16, T=128, prob=0.05, seed=2,
+        beam_width=32))
+    step("sieve_dynamic_K512", lambda: harness_row(
+        algorithm="sieve", K=512, M=16, T=128, prob=0.05, seed=2))
+    step("sieve_dag_K256", lambda: harness_row(
+        algorithm="sieve_dag", K=256, M=16, T=64, prob=0.9, seed=2, dag=True))
 
     def sharded_vs_fused():
         import jax.numpy as jnp
