@@ -38,6 +38,15 @@ emission misses contribute 0 (dict fallthrough :119-123); left children
 force ``last=x_a`` while right children inherit the parent's resolved
 ``last`` (:207/:259); left recursions thread the parent's token set,
 right recursions get the median-step beam (:218-219).
+
+Totality extension: when beam pruning eliminates every median candidate
+of a subproblem the reference *crashes* (KeyError at
+``sieve_beam_search.py:88`` — the -1 sentinel enters the child's index
+set; ``oracle.sieve_bs`` raises ``ReferenceUndefined`` there).  This
+decoder instead emits the SIEVE-Mp-style ``(-1, -1)`` sentinel pair for
+that node, skips the impossible recursion, and decodes the rest — the
+only defined-everywhere behavior consistent with the family's sentinel
+convention (``SIEVE-Mp.c:412-420``).
 """
 
 from __future__ import annotations

@@ -43,7 +43,24 @@ from math import floor
 
 import numpy as np
 
-__all__ = ["build_adjacency", "sieve_bs", "sieve_bs_mp", "beam_search"]
+__all__ = ["build_adjacency", "sieve_bs", "sieve_bs_mp", "beam_search",
+           "ReferenceUndefined"]
+
+
+class ReferenceUndefined(ValueError):
+    """The reference implementation crashes on this input.
+
+    When beam pruning eliminates every median candidate of a subproblem,
+    SIEVE-BS/SIEVE-BS-Mp recurse with the sentinel state -1 in the index
+    set and the reference Python dies with ``KeyError: (0, -1)`` at the
+    child's first-frame init (``sieve_beam_search.py:88``); the C
+    binaries index out of bounds at the same point.  There are no
+    reference semantics to mirror, so the oracle refuses loudly instead
+    of inventing output (or, for SIEVE-BS, recursing forever).  The TPU
+    decoders (``algorithms.sieve_bs``) are total: they emit the
+    SIEVE-Mp-style ``(-1, -1)`` sentinel pair and decode the rest — a
+    documented extension beyond the reference's domain.
+    """
 
 
 class _LazyAcoustic:
@@ -240,6 +257,10 @@ def _sieve_bs_rec(ctx: _Ctx, indices, frames, last, active_tokens):
     N_left = int(new_n.get(last, 0))
 
     if N_left > 1:
+        if x_a == -1:
+            raise ReferenceUndefined(
+                "SIEVE-BS: beam pruned every median candidate "
+                f"(T={T}, left span {N_left}); reference crashes here")
         anc = ctx._reach(x_a, N_left, out=False)
         anc.discard(-1)
         left_idx = sorted(anc | {x_a})
@@ -249,6 +270,12 @@ def _sieve_bs_rec(ctx: _Ctx, indices, frames, last, active_tokens):
 
     N_right = T - N_left
     if N_right > 1:
+        if x_b == -1:
+            # with no recorded pair N_left is 0, so this recursion would
+            # also never shrink the frame span
+            raise ReferenceUndefined(
+                "SIEVE-BS: beam pruned every median candidate "
+                f"(T={T}, right span {N_right}); reference crashes here")
         dec = ctx._reach(x_b, N_right, out=True)
         dec.discard(-1)
         right_idx = sorted(dec | {x_b})
@@ -312,6 +339,10 @@ def _sieve_bs_mp_rec(ctx: _Ctx, indices, frames, last, active_tokens):
     N_left = floor(T / 2)
 
     if N_left > 1:
+        if x_a == -1:
+            raise ReferenceUndefined(
+                "SIEVE-BS-Mp: beam pruned every median candidate "
+                f"(T={T}); reference crashes here")
         anc = ctx._reach(x_a, N_left, out=False)
         anc.discard(-1)
         left_idx = sorted(anc | {x_a})
@@ -321,6 +352,10 @@ def _sieve_bs_mp_rec(ctx: _Ctx, indices, frames, last, active_tokens):
 
     N_right = T - N_left
     if N_right > 1:
+        if x_b == -1:
+            raise ReferenceUndefined(
+                "SIEVE-BS-Mp: beam pruned every median candidate "
+                f"(T={T}); reference crashes here")
         dec = ctx._reach(x_b, N_right, out=True)
         dec.discard(-1)
         right_idx = sorted(dec | {x_b})

@@ -72,6 +72,84 @@ def test_sharded_agrees_with_single_chip_fuzz(K, M, T, prob, seed,
             err_msg=f"mesh={mesh_shape} segs={segs} K={K} T={T} b={b}")
 
 
+DYN_SEEDS = [301, 302, 303, 304, 305, 306]
+
+
+@pytest.mark.parametrize("seed", DYN_SEEDS)
+def test_dynamic_median_family_fuzz(seed):
+    """Randomized shapes through the host-driven dynamic-median decoders
+    (the newest, least-exercised family) vs their reference-verified
+    oracles — median pairs and flattened paths must agree exactly."""
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.algorithms.sieve_bs import sieve_bs_decode
+    from flash_viterbi_tpu.oracle.sieve_bs import sieve_bs as oracle_bs
+    from flash_viterbi_tpu.oracle.sieve_bs import sieve_bs_mp as oracle_bs_mp
+
+    from flash_viterbi_tpu.oracle.sieve_bs import ReferenceUndefined
+
+    rng = np.random.RandomState(seed)
+    K = int(rng.randint(16, 96))
+    M = int(rng.randint(2, 14))
+    T = int(rng.randint(5, 48))
+    prob = float(rng.uniform(0.15, 0.6))
+    bw = int(rng.randint(2, max(3, K // 3)))
+    hmm, y = fvt.make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+    lh = hmm.log()
+    args = (jnp.asarray(lh.logA), jnp.asarray(lh.logB),
+            jnp.asarray(lh.logPi), np.asarray(y))
+
+    try:
+        want = [tuple(int(v) for v in p)
+                for p in oracle_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)]
+    except ReferenceUndefined:
+        # reference crashes on this input (beam pruned every median
+        # candidate); the TPU decoder must still be total
+        got = sieve_bs_decode(*args, beam_width=bw)
+        assert len(got) >= 1 and all(len(p) == 2 for p in got)
+    else:
+        got = sieve_bs_decode(*args, beam_width=bw)
+        assert got == want, f"sieve_bs K={K} M={M} T={T} prob={prob:.2f} bw={bw}"
+
+    try:
+        pairs = oracle_bs_mp(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+    except ReferenceUndefined:
+        r = fvt.decode(hmm, y, algorithm="sieve_bs_mp", beam_width=bw,
+                       pad_to=1, warmup=False)
+        assert len(np.asarray(r.path)) == T
+    else:
+        wantp = np.asarray(
+            [pairs[0][0], pairs[0][1]] + [p[1] for p in pairs[1:]])[:T]
+        r = fvt.decode(hmm, y, algorithm="sieve_bs_mp", beam_width=bw,
+                       pad_to=1, warmup=False)
+        np.testing.assert_array_equal(
+            r.path, wantp, err_msg=f"sieve_bs_mp K={K} M={M} T={T} bw={bw}")
+
+
+@pytest.mark.parametrize("seed", DYN_SEEDS[:3])
+def test_sieve_dynamic_fuzz(seed):
+    """Randomized shapes through the TPU sieve (dynamic median, full
+    state space) vs its oracle — median pairs must agree exactly."""
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.algorithms.sieve_dyn import sieve_dynamic_decode
+    from flash_viterbi_tpu.oracle.sieve import sieve_dynamic
+
+    rng = np.random.RandomState(seed + 50)
+    K = int(rng.randint(16, 80))
+    M = int(rng.randint(2, 10))
+    T = int(rng.randint(5, 40))
+    prob = float(rng.uniform(0.2, 0.6))
+    b = int(rng.randint(1, 4))
+    hmm, y = fvt.make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed + 50)
+    want = [tuple(int(v) for v in p)
+            for p in sieve_dynamic(hmm.A, hmm.B, hmm.Pi, y, b_hops=b)]
+    lh = hmm.log()
+    got = sieve_dynamic_decode(jnp.asarray(lh.logA), jnp.asarray(lh.logB),
+                               jnp.asarray(lh.logPi), np.asarray(y), b_hops=b)
+    assert got == want, f"sieve K={K} M={M} T={T} b={b}"
+
+
 @pytest.mark.parametrize("K,M,T,prob,seed", CASES)
 def test_auto_budgeted_always_exact(K, M, T, prob, seed):
     """Whatever decoder a memory budget forces auto into — including the
