@@ -106,7 +106,10 @@ def device_working_set(name: str, kw: dict, K: int, T: int) -> int:
         leaf_b = 2 * max(llen - 1, 1) * min(LEAF_LANES, n_leaves) * K * 4
         return max(round_b, leaf_b) + (2 * N + 4) * K * 4
     if name == "checkpoint":
-        step = snapshot_step(T)  # what checkpoint_decode_pallas runs
+        # honor a caller step override; default is what the decode runs
+        step = int(kw.get("step", 0) or 0)
+        if step <= 0:
+            step = snapshot_step(T)
         return (T // step + 1) * K * 4 + step * K * 4
     if name == "fused":
         return build("fused").analytic_memory(K=K, T=T)  # honest for fused
@@ -142,29 +145,21 @@ def choose(K: int, T: int, memory_budget_bytes: int | None = None,
 def _build(memory_budget_bytes: int | None = None,
            beam_width: int | None = None, **static) -> Decoder:
     cache: dict = {}
-    last: dict = {"choice": None, "shape": None}
 
     def fn(logA, logB, logPi, y):
         K, T = int(logA.shape[0]), int(y.shape[-1])
         name, kw = choose(K, T, memory_budget_bytes, beam_width, static)
-        last["choice"], last["shape"] = (name, kw), (K, T)
         key = (name, tuple(sorted(kw.items())))
         if key not in cache:
             cache[key] = build(name, **kw)
         return cache[key](logA, logB, logPi, y)
 
-    def memory(K: int, T: int, **_) -> int:
-        # report the decoder that actually ran for THIS shape: selection
-        # happened at the padded K (trace shape), so accept a recorded
-        # choice only if it came from this T and a K within one padding
-        # granule — re-derive otherwise (a reused Decoder may have last
-        # decoded a completely different shape)
-        if last["choice"] is not None:
-            lk, lt = last["shape"]
-            if lt == T and 0 <= lk - K < 128:
-                name, kw = last["choice"]
-                return build(name, **kw).analytic_memory(K=K, T=T)
-        name, kw = choose(K, T, memory_budget_bytes, beam_width, static)
+    def memory(K: int, T: int, K_padded: int | None = None, **_) -> int:
+        # selection happens at the padded K (the device arrays' trace
+        # shape) — re-derive the choice there when the caller supplies it
+        # (decode() does), then report the figure at the logical K
+        name, kw = choose(K if K_padded is None else int(K_padded), T,
+                          memory_budget_bytes, beam_width, static)
         return build(name, **kw).analytic_memory(K=K, T=T)
 
     return Decoder("auto", fn,

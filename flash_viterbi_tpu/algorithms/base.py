@@ -69,8 +69,17 @@ class Decoder:
     def __call__(self, logA, logB, logPi, y) -> jax.Array:
         return self._fn(logA, logB, logPi, y)
 
-    def analytic_memory(self, K: int, T: int) -> int:
-        return int(self._memory_fn(K=K, T=T, **self.static))
+    def analytic_memory(self, K: int, T: int, K_padded: int | None = None) -> int:
+        """Reference-style analytic working set at logical shape (K, T).
+
+        ``K_padded`` (the device arrays' true state count) lets
+        shape-adaptive decoders (``auto``) re-derive the configuration
+        that actually ran — selection happens at the padded K — while
+        still reporting the figure at the logical K.  Plain decoders
+        ignore it.
+        """
+        kw = {} if K_padded is None else {"K_padded": int(K_padded)}
+        return int(self._memory_fn(K=K, T=T, **kw, **self.static))
 
 
 def build(algorithm: str, **static) -> Decoder:
@@ -127,7 +136,7 @@ def decode(
     return DecodeResult(
         path=np.asarray(path)[:T],
         time_s=t1 - t0,
-        memory_bytes=dec.analytic_memory(K=K, T=T),
+        memory_bytes=dec.analytic_memory(K=K, T=T, K_padded=lh.Kp),
         algorithm=algorithm,
         extra={"K": K, "K_padded": lh.Kp, "T": T, **dec.static},
     )

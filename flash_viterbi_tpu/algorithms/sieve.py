@@ -299,9 +299,17 @@ def sieve_bs_mp_decode(logA, logB_raw, logPi, y, A_posF, beam_width: int,
     top-``min(B, #touched)`` of touched states; the median-step beam
     becomes the right child's token set; left children inherit the
     parent's tokens; left children force ``last=x_a``, right children
-    inherit the parent's ``last`` (:496).  Documented delta: ties resolve
-    by lowest state index / beam rank (the reference's dict-insertion
-    order); identical off ties.
+    inherit the parent's ``last`` (:496).
+
+    Documented deltas vs the float64 reference (both fp-tie classes —
+    ``oracle.framework.sieve_bs_mp`` is the bit-exact fp32 yardstick):
+    (a) exact-tie resolution is lowest state index / beam rank instead of
+    the reference's dict-insertion order; (b) *permuted-path ties* —
+    cyclic paths traversing the same edge multiset in a different order
+    under repeated observation symbols score mathematically equal; the
+    f64 reference sees an exact tie (first-inserted wins) while the fp32
+    sums, accumulated in different orders, round APART, silently picking
+    the other path of the tie class.
 
     Cost shape: only each segment's FIRST step (whose token set can exceed
     the beam, e.g. the root's full K) runs a dense max-plus (the fused
@@ -337,10 +345,22 @@ def sieve_bs_mp_decode(logA, logB_raw, logPi, y, A_posF, beam_width: int,
     pairs_y: dict[int, jax.Array] = {}
 
     def _select_beam(touched, newT1):
-        """(top_idx (S,B), eff (S,), token mask (S,K)) of the touched top-B."""
+        """(top_idx (S,B), eff (S,), token mask (S,K)) of the touched top-B.
+
+        The reference beam is ``nlargest`` over the *touched dict only* —
+        a touched key whose score is still -inf IS in the dict (the
+        ``setdefault`` comparison inserts it) and outranks every untouched
+        state.  Two sentinels keep that order under dense top_k (same
+        scheme as ``sieve_bs._beam_vals``): touched -inf -> -2e38, above
+        untouched -> -3e38, so no untouched state can displace a touched
+        one inside the eff = min(B, #touched) kept slots.
+        """
         S = touched.shape[0]
         eff = jnp.minimum(B, jnp.sum(touched, axis=1))
-        vals = jnp.where(touched, newT1, NEGBIG)
+        vals = jnp.where(touched,
+                         jnp.where(jnp.isneginf(newT1),
+                                   jnp.float32(-2.0e38), newT1),
+                         NEGBIG)
         _, top_idx = jax.lax.top_k(vals, B)
         slot_ok = jnp.arange(B)[None, :] < eff[:, None]
         tokm = jnp.zeros_like(touched, jnp.float32).at[
@@ -380,9 +400,14 @@ def sieve_bs_mp_decode(logA, logB_raw, logPi, y, A_posF, beam_width: int,
         sym1 = y[starts + 1]
         T1 = jnp.where(touched, val1 + emitQ[:, sym1].T, NEG)
 
+        # median planes mirror the reference's per-step ``new_middlepath``
+        # dict, which is REBUILT every step: a destination that wins no
+        # candidate this step has no entry, so inheriting from it later
+        # must read (-1, -1) — non-winners are reset, never carried over
+        won1 = jnp.logical_and(touched, val1 > NEG)
         if th == 1:
-            px = win1
-            py = jnp.broadcast_to(iota[None, :], (S, K))
+            px = jnp.where(won1, win1, -1)
+            py = jnp.where(won1, jnp.broadcast_to(iota[None, :], (S, K)), -1)
         else:
             px = jnp.full((S, K), -1, jnp.int32)
             py = jnp.full((S, K), -1, jnp.int32)
@@ -408,9 +433,13 @@ def sieve_bs_mp_decode(logA, logB_raw, logPi, y, A_posF, beam_width: int,
             px_rec = jnp.where(rec, win, jnp.take_along_axis(px, win, axis=1))
             py_rec = jnp.where(rec, jnp.broadcast_to(iota[None, :], (S, K)),
                                jnp.take_along_axis(py, win, axis=1))
+            # per-step dict-rebuild semantics: only this step's winners
+            # carry a pair forward; everyone else resets to the
+            # defaultdict's (-1, -1) (sieve_beam_search.py:394,425)
+            won = jnp.logical_and(touched, val > NEG)
             prop = j >= th
-            px = jnp.where(prop, px_rec, px)
-            py = jnp.where(prop, py_rec, py)
+            px = jnp.where(prop, jnp.where(won, px_rec, -1), px)
+            py = jnp.where(prop, jnp.where(won, py_rec, -1), py)
 
             ntok_idx, neff, ntokm = _select_beam(touched, newT1)
             mid_beam = jnp.where(rec, ntokm, mid_beam)

@@ -194,23 +194,30 @@ def _node_forward(logA, emitQ, A_posF, anc_cnt, desc_cnt, pi_log,
     return x_a, x_b, n_left, tokens_right, last
 
 
-def _host_reach(A_pos: np.ndarray, src: int, b: int, out: bool) -> np.ndarray:
-    """Visited-gated level BFS, <= b-1 edge hops; source excluded unless
-    re-reached (the reference's ``_reach``, sieve_beam_search.py:504-546)."""
-    adj = A_pos if out else A_pos.T
-    K = A_pos.shape[0]
+def _host_bfs(adj: np.ndarray, src: int, hops: int) -> np.ndarray:
+    """Visited-gated level BFS (traversal direction rows -> cols),
+    <= ``hops`` edge hops; source excluded unless re-reached.  One
+    primitive serves both reach conventions: the reference's ``_reach``
+    (sieve_beam_search.py:504-546, b-1 edges via :func:`_host_reach`)
+    and the dynamic-median oracles' global-index BFS
+    (``algorithms.sieve_dyn``, plain hop count)."""
+    K = adj.shape[0]
     visited = np.zeros(K, bool)
     frontier = np.zeros(K, bool)
     frontier[src] = True
-    found = np.zeros(K, bool)
-    for _ in range(max(b - 1, 0)):
+    for _ in range(max(hops, 0)):
         nxt = adj[frontier].any(axis=0) & ~visited
         if not nxt.any():
             break
-        found |= nxt
         visited |= nxt
         frontier = nxt
-    return found
+    return visited
+
+
+def _host_reach(A_pos: np.ndarray, src: int, b: int, out: bool) -> np.ndarray:
+    """<= b-1 edge hops along out- (in-) edges, the reference's
+    depth-from-1 counting."""
+    return _host_bfs(A_pos if out else A_pos.T, src, b - 1)
 
 
 def sieve_bs_decode(logA, logB_raw, logPi, y, beam_width: int,
@@ -245,6 +252,11 @@ def sieve_bs_decode(logA, logB_raw, logPi, y, beam_width: int,
             tokens_np: np.ndarray | None):
         L = len(y_seg)
         if mask_np.sum() <= 1:
+            return
+        if L == 1:
+            # single-frame node: the oracle's forward loop never runs, no
+            # median is recorded — sentinel pair, nothing to recurse into
+            path.append((-1, -1))
             return
         tokens0 = mask_np if tokens_np is None else tokens_np
         # bucket the compiled length to the next power of two: O(log T)

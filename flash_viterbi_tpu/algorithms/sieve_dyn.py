@@ -55,7 +55,7 @@ import jax.numpy as jnp
 
 from .base import Decoder, register
 from .sieve import NEG
-from .sieve_bs import _bhop_counts
+from .sieve_bs import _bhop_counts, _host_bfs
 
 
 def _bfs_masks_capped(adjF, frontier0, parent_mask, max_hops: int, n_hops):
@@ -147,22 +147,6 @@ def _node_forward_dyn(logA, logB, anc_cnt, desc_cnt, y_seg, n_valid, mask,
     last_arg = jnp.min(jnp.where((T1 == bestT) & active, iota, K)).astype(jnp.int32)
     last = jnp.where(last_forced >= 0, last_forced, last_arg)
     return mx[last], my[last], mn[last], last
-
-
-def _host_bfs(adj: np.ndarray, src: int, hops: int) -> np.ndarray:
-    """Level BFS, <= hops edge hops; source excluded unless re-reached
-    (the oracle's ``_bfs_mask`` over global indices)."""
-    K = adj.shape[0]
-    visited = np.zeros(K, bool)
-    frontier = np.zeros(K, bool)
-    frontier[src] = True
-    for _ in range(max(hops, 0)):
-        new = adj[frontier].any(axis=0) & ~visited
-        if not new.any():
-            break
-        visited |= new
-        frontier = new
-    return visited
 
 
 def sieve_dynamic_decode(logA, logB, logPi, y, b_hops: int | None = None,

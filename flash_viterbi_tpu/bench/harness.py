@@ -117,10 +117,14 @@ def _parity(cfg, hmm, y, path, dec, tables):
                 pairs = sieve_dynamic(hmm.A, hmm.B, hmm.Pi, y, b_hops=b)
             else:
                 pairs = sieve_dag(hmm.A, hmm.B, hmm.Pi, y)
+        elif alg == "sieve_bs_mp":
+            # fp32 framework mirror: bit-exact with the decoder even on
+            # permuted-path ties where the f64 oracle legitimately differs
+            want = fw.sieve_bs_mp(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+            return bool((path == np.asarray(want)[: cfg.T]).all())
         else:
-            from ..oracle.sieve_bs import sieve_bs, sieve_bs_mp
-            pairs = (sieve_bs if alg == "sieve_bs" else sieve_bs_mp)(
-                hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+            from ..oracle.sieve_bs import sieve_bs
+            pairs = sieve_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
         if not pairs:
             return bool((path == -1).all())
         flat = np.asarray([pairs[0][0], pairs[0][1]] + [p[1] for p in pairs[1:]])

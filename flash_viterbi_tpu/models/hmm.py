@@ -25,9 +25,20 @@ NEG = np.float32(-3.4028235e38)  # -FLT_MAX, the reference's ElementTypeNegMin
 
 
 def _log32(p: np.ndarray) -> np.ndarray:
-    """float64 log truncated to float32; log(0) -> -inf, matching C log()."""
+    """float64 log truncated to float32; log(0) -> -inf, matching C log().
+
+    NaN probabilities map to -inf (absent edge).  The reference generator
+    emits 0/0 = NaN rows for zero-out-degree states (data_script.py:30-32,
+    SURVEY.md §2.4) and the reference C's strict-'>' comparisons silently
+    skip NaN candidates (``ktmp > tmax`` is false) — identical to a -inf
+    edge.  jnp.max would instead PROPAGATE NaN and corrupt every later
+    delta, so the skip semantics must be encoded in the table (verified
+    bit-equal to the C-comparison mirror ``oracle.reference`` on NaN
+    fixtures in tests/test_fuzz.py)."""
     with np.errstate(divide="ignore", invalid="ignore"):
-        return np.log(np.asarray(p, dtype=np.float64)).astype(np.float32)
+        out = np.log(np.asarray(p, dtype=np.float64)).astype(np.float32)
+    out[np.isnan(out)] = np.float32("-inf")
+    return out
 
 
 def round_up(x: int, m: int) -> int:

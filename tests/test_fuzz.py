@@ -83,10 +83,8 @@ def test_dynamic_median_family_fuzz(seed):
     import jax.numpy as jnp
 
     from flash_viterbi_tpu.algorithms.sieve_bs import sieve_bs_decode
-    from flash_viterbi_tpu.oracle.sieve_bs import sieve_bs as oracle_bs
-    from flash_viterbi_tpu.oracle.sieve_bs import sieve_bs_mp as oracle_bs_mp
-
     from flash_viterbi_tpu.oracle.sieve_bs import ReferenceUndefined
+    from flash_viterbi_tpu.oracle.sieve_bs import sieve_bs as oracle_bs
 
     rng = np.random.RandomState(seed)
     K = int(rng.randint(16, 96))
@@ -111,19 +109,18 @@ def test_dynamic_median_family_fuzz(seed):
         got = sieve_bs_decode(*args, beam_width=bw)
         assert got == want, f"sieve_bs K={K} M={M} T={T} prob={prob:.2f} bw={bw}"
 
-    try:
-        pairs = oracle_bs_mp(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
-    except ReferenceUndefined:
-        r = fvt.decode(hmm, y, algorithm="sieve_bs_mp", beam_width=bw,
-                       pad_to=1, warmup=False)
-        assert len(np.asarray(r.path)) == T
-    else:
-        wantp = np.asarray(
-            [pairs[0][0], pairs[0][1]] + [p[1] for p in pairs[1:]])[:T]
-        r = fvt.decode(hmm, y, algorithm="sieve_bs_mp", beam_width=bw,
-                       pad_to=1, warmup=False)
-        np.testing.assert_array_equal(
-            r.path, wantp, err_msg=f"sieve_bs_mp K={K} M={M} T={T} bw={bw}")
+    # sieve_bs_mp: the fp32 framework mirror is the bit-exact yardstick
+    # on arbitrary fixtures (the f64 oracle legitimately differs on
+    # permuted-path ties — see algorithms/sieve.py docstring; tie-free
+    # reference fidelity is pinned by the fixture tests in
+    # test_tpu_algorithms.py / test_sieve.py)
+    from flash_viterbi_tpu.oracle.framework import sieve_bs_mp as mirror_bs_mp
+
+    wantp = mirror_bs_mp(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+    r = fvt.decode(hmm, y, algorithm="sieve_bs_mp", beam_width=bw,
+                   pad_to=1, warmup=False)
+    np.testing.assert_array_equal(
+        r.path, wantp, err_msg=f"sieve_bs_mp K={K} M={M} T={T} bw={bw}")
 
 
 @pytest.mark.parametrize("seed", DYN_SEEDS[:3])
@@ -178,3 +175,30 @@ def test_auto_budgeted_always_exact(K, M, T, prob, seed):
                              ("checkpoint", {}), ("fused", {})])
             if fits_any:
                 assert ws <= budget, (name, kw, ws, budget)
+
+
+@pytest.mark.parametrize("seed_base", [600, 640])
+def test_sieve_bs_mp_mirror_fuzz(seed_base):
+    """Broad randomized sweep: the device sieve_bs_mp must be bit-exact
+    with the fp32 framework mirror on every fixture — including NaN-row
+    (zero-out-degree) models and permuted-path-tie configurations where
+    the f64 reference oracle legitimately differs."""
+    import warnings
+
+    from flash_viterbi_tpu.oracle.framework import sieve_bs_mp as mirror
+
+    for seed in range(seed_base, seed_base + 25):
+        rng = np.random.RandomState(seed)
+        K = int(rng.randint(16, 28))
+        M = int(rng.randint(3, 8))
+        T = int(rng.randint(6, 24))
+        prob = float(rng.uniform(0.1, 0.25))
+        bw = int(rng.randint(2, 6))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # NaN rows are intentional
+            hmm, y = fvt.make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+        want = mirror(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+        r = fvt.decode(hmm, y, algorithm="sieve_bs_mp", beam_width=bw,
+                       pad_to=1, warmup=False)
+        np.testing.assert_array_equal(
+            r.path, want, err_msg=f"seed={seed} K={K} M={M} T={T} bw={bw}")
