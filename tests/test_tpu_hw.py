@@ -158,3 +158,18 @@ def test_backtrack_kernel_batched_on_hw(tpu_backend):
     a = np.asarray(jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, last))
     b = np.asarray(jax.vmap(backtrack_pallas, in_axes=(1, 0))(ptrs, last))
     np.testing.assert_array_equal(a, b)
+
+
+def test_sieve_bs_mp_mirror_on_hw(tpu_backend):
+    """Device sieve_bs_mp (fused-kernel first step + beam-space scan) must
+    be bit-exact with the fp32 framework mirror on real Mosaic — this is
+    the decoder whose dense first step runs the Pallas kernel at
+    headline K."""
+    import flash_viterbi_tpu as fvt
+    from flash_viterbi_tpu.oracle.framework import sieve_bs_mp as mirror
+
+    hmm, y = fvt.make_sparse_hmm(K=256, M=10, T=24, prob=0.1, seed=13)
+    want = mirror(hmm.A, hmm.B, hmm.Pi, y, beam_width=8)
+    r = fvt.decode(hmm, y, algorithm="sieve_bs_mp", beam_width=8,
+                   pad_to=1, warmup=False)
+    np.testing.assert_array_equal(np.asarray(r.path), want)
