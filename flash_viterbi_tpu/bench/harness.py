@@ -122,9 +122,8 @@ def _parity(cfg, hmm, y, path, dec, tables):
             # permuted-path ties where the f64 oracle legitimately differs
             want = fw.sieve_bs_mp(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
             return bool((path == np.asarray(want)[: cfg.T]).all())
-        else:
-            from ..oracle.sieve_bs import sieve_bs
-            pairs = sieve_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+        else:  # sieve_bs: same fp32-mirror yardstick
+            pairs = fw.sieve_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
         if not pairs:
             return bool((path == -1).all())
         flat = np.asarray([pairs[0][0], pairs[0][1]] + [p[1] for p in pairs[1:]])

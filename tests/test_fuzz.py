@@ -202,3 +202,34 @@ def test_sieve_bs_mp_mirror_fuzz(seed_base):
                        pad_to=1, warmup=False)
         np.testing.assert_array_equal(
             r.path, want, err_msg=f"seed={seed} K={K} M={M} T={T} bw={bw}")
+
+
+@pytest.mark.parametrize("seed_base", [700, 730])
+def test_sieve_bs_mirror_fuzz(seed_base):
+    """Device sieve_bs (dynamic median) vs its fp32 framework mirror —
+    bit-exact median pairs on arbitrary fixtures, NaN rows and
+    reference-undefined (beam-exhausted) inputs included."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.algorithms.sieve_bs import sieve_bs_decode
+    from flash_viterbi_tpu.oracle.framework import sieve_bs as mirror
+
+    for seed in range(seed_base, seed_base + 15):
+        rng = np.random.RandomState(seed)
+        K = int(rng.randint(16, 40))
+        M = int(rng.randint(3, 8))
+        T = int(rng.randint(4, 20))
+        prob = float(rng.uniform(0.1, 0.3))
+        bw = int(rng.randint(2, 7))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # NaN rows are intentional
+            hmm, y = fvt.make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+        lh = hmm.log()
+        got = sieve_bs_decode(jnp.asarray(lh.logA), jnp.asarray(lh.logB),
+                              jnp.asarray(lh.logPi), np.asarray(y),
+                              beam_width=bw)
+        want = [tuple(int(v) for v in p)
+                for p in mirror(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)]
+        assert got == want, f"seed={seed} K={K} M={M} T={T} bw={bw}"
