@@ -237,8 +237,15 @@ def sieve_bs_decode(logA, logB_raw, logPi, y, beam_width: int,
     A_posF = (logA > NEG).astype(jnp.float32)
     A_pos_np = np.asarray(A_posF) > 0
     emitQ = jnp.where(logB_raw > NEG, logB_raw, 0.0)
+    # logical (non-padding) states: padded states are all -inf everywhere
+    # (same liveness rule as sieve_dyn) — the uniform prior must use the
+    # logical K (build_adjacency's log(1/K)), not the padded array length,
+    # or padding flips fp-tie outcomes
+    real = (np.isfinite(np.asarray(logA)).any(axis=1)
+            | np.isfinite(np.asarray(logB_raw)).any(axis=1)
+            | np.isfinite(np.asarray(logPi)))
     # uniform root prior for every subproblem (build_adjacency Pi=None)
-    pi_log = jnp.float32(np.float64(np.log(1.0 / K)))
+    pi_log = jnp.float32(np.float64(np.log(1.0 / max(1, int(real.sum())))))
     b = T if b_hops is None else int(b_hops)
     # visited-gated BFS saturates after at most K productive hops (every
     # state, incl. a cycle-re-reached source, enters `visited` once), so
@@ -288,7 +295,7 @@ def sieve_bs_decode(logA, logB_raw, logPi, y, beam_width: int,
             rec(rm, y_seg[-n_right:], last_r,
                 np.asarray(tokens_right) > 0)
 
-    rec(np.ones(K, bool), y_np, None, None)
+    rec(np.asarray(real, bool), y_np, None, None)
     return path
 
 

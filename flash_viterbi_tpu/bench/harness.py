@@ -233,8 +233,10 @@ def run_one(cfg: RunConfig) -> dict:
         "BeamSearchWidth": cfg.beam_width or "",
         "time": wall,
         # logical K, not the padded lh.Kp: the figure must match the C
-        # binaries' reference-exact accounting (e.g. K=3965, not 4096)
-        "memory": dec.analytic_memory(K=cfg.K, T=cfg.T),
+        # binaries' reference-exact accounting (e.g. K=3965, not 4096);
+        # K_padded lets shape-adaptive decoders (auto) re-derive the
+        # configuration that actually ran (selection sees the padded K)
+        "memory": dec.analytic_memory(K=cfg.K, T=cfg.T, K_padded=lh.Kp),
         "algorithm": cfg.algorithm,
         "device": str(jax.devices()[0]),
         "updates_per_s": cfg.K * cfg.K * cfg.T / wall,

@@ -137,8 +137,8 @@ def _scan_kernel(delta0_ref, logA_ref, emits_ref, dfin_ref, ptr_ref,
 # Below this state count the whole logA matrix stays VMEM-resident and the
 # time loop runs inside the kernel — zero HBM re-streaming per step, which
 # is what makes small-K long-T decoding VPU-bound instead of launch-bound.
-# (RESIDENT_MAX_K is the public name — ranking heuristics key off it.)
-_RESIDENT_MAX_K = RESIDENT_MAX_K = 1024
+# (public name — ranking heuristics in algorithms/auto.py key off it)
+RESIDENT_MAX_K = 1024
 _RESIDENT_CHUNK = 128
 
 
@@ -235,7 +235,7 @@ def maxplus_scan(logA: jax.Array, emits: jax.Array, delta0: jax.Array,
     assert logA.shape == (K, K) and delta0.shape == (N, K)
     if Tm == 0:  # T=1 sequences: nothing to scan
         return delta0, jnp.zeros((0, N, K), jnp.int32)
-    if (K <= _RESIDENT_MAX_K and logA.dtype == jnp.float32
+    if (K <= RESIDENT_MAX_K and logA.dtype == jnp.float32
             and (K * K + 2 * _RESIDENT_CHUNK * N * K) * 4 <= _VMEM_BUDGET):
         return _maxplus_scan_resident(logA, emits, delta0, interpret)
     BK, BI = _pick_tiles(K)

@@ -299,7 +299,11 @@ def sieve_bs(A, B_mat, Pi, y, beam_width: int, b_hops=None) -> list:
     NEG = F32(-np.inf)
     A_pos = logA > NEG
     emitQ = np.where(logB > NEG, logB, F32(0.0)).astype(F32)
-    pi_log = F32(np.float64(np.log(1.0 / K)))
+    # same liveness rule as the decoder: the uniform prior uses the
+    # logical state count, so padded inputs mirror bit-exactly too
+    real = (np.isfinite(logA).any(axis=1) | np.isfinite(logB).any(axis=1)
+            | np.isfinite(logPi))
+    pi_log = F32(np.float64(np.log(1.0 / max(1, int(real.sum())))))
     iota = np.arange(K)
     b = T if b_hops is None else int(b_hops)
     hops = min(max(b - 1, 0), K)
@@ -309,6 +313,8 @@ def sieve_bs(A, B_mat, Pi, y, beam_width: int, b_hops=None) -> list:
         frontier = np.eye(K, dtype=bool)
         for _ in range(hops):
             new = (frontier @ adj) & ~visited
+            if not new.any():  # graph saturated — identical output
+                break
             visited |= new
             frontier = new
         return visited.sum(axis=1).astype(F32)
@@ -415,5 +421,5 @@ def sieve_bs(A, B_mat, Pi, y, beam_width: int, b_hops=None) -> list:
             rm = _host_reach(A_pos, x_b, n_right, out=True).copy()
             rm[x_b] = True
             rec(rm, y_seg[-n_right:], last_r, tokens_right)
-    rec(np.ones(K, bool), y, None, None)
+    rec(np.asarray(real, bool), y, None, None)
     return path

@@ -204,6 +204,33 @@ def test_sieve_bs_mp_mirror_fuzz(seed_base):
             r.path, want, err_msg=f"seed={seed} K={K} M={M} T={T} bw={bw}")
 
 
+def test_sieve_bs_padding_invariance():
+    """The uniform prior must use the LOGICAL state count (log(1/K), not
+    log(1/Kp)) — padding to 128 dead states flips fp-tie outcomes
+    otherwise.  Device decode at pad_to=128 must equal the mirror at the
+    logical K and the pad_to=1 decode, including on tie-heavy fixtures."""
+    from flash_viterbi_tpu.oracle.framework import sieve_bs as mirror
+
+    for K, M, T, prob, seed in [(24, 3, 9, 0.6, 101), (100, 2, 40, 0.15, 31),
+                                (17, 2, 16, 0.7, 108)]:
+        hmm, y = fvt.make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+        bw = max(2, K // 3)
+        a = fvt.decode(hmm, y, algorithm="sieve_bs", beam_width=bw,
+                       pad_to=1, warmup=False)
+        b = fvt.decode(hmm, y, algorithm="sieve_bs", beam_width=bw,
+                       pad_to=128, warmup=False)
+        np.testing.assert_array_equal(a.path, b.path,
+                                      err_msg=f"K={K} seed={seed}")
+        pairs = mirror(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+        if pairs:
+            flat = np.asarray([pairs[0][0], pairs[0][1]]
+                              + [p[1] for p in pairs[1:]])[:T]
+            want = np.full(T, -1, np.int64)
+            want[: len(flat)] = flat
+            np.testing.assert_array_equal(b.path, want,
+                                          err_msg=f"K={K} seed={seed}")
+
+
 @pytest.mark.parametrize("seed_base", [700, 730])
 def test_sieve_bs_mirror_fuzz(seed_base):
     """Device sieve_bs (dynamic median) vs its fp32 framework mirror —
