@@ -1,0 +1,131 @@
+"""Extended offline fuzz hunt (one-off, CPU): hundreds of random fixtures
+through every invariant the fast committed fuzz tests sample only lightly.
+
+Usage:  python scripts/fuzz_hunt.py [n_rounds] [seed0]
+Prints one line per failure; exits nonzero if any invariant broke.
+"""
+
+import os
+import sys
+import warnings
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+import flash_viterbi_tpu as fvt  # noqa: E402
+from flash_viterbi_tpu.oracle import framework as ofw  # noqa: E402
+
+N_ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 150
+SEED0 = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+
+failures = []
+
+
+def check(name, cond, ctx):
+    if not cond:
+        failures.append((name, ctx))
+        print(f"FAIL {name}: {ctx}", flush=True)
+
+
+def one_round(seed):
+    rng = np.random.RandomState(seed)
+    K = int(rng.randint(8, 140))
+    M = int(rng.randint(2, 20))
+    T = int(rng.randint(2, 80))
+    prob = float(rng.uniform(0.05, 0.8))
+    bw = int(rng.randint(2, max(3, K // 2)))
+    segs = int(rng.randint(2, 9))
+    ctx = f"seed={seed} K={K} M={M} T={T} prob={prob:.3f} bw={bw} segs={segs}"
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        hmm, y = fvt.make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+
+    want = ofw.vanilla(hmm.A, hmm.B, hmm.Pi, y)
+
+    # exact family agreement, randomized pad
+    pad = int(rng.choice([1, 8, 128]))
+    for alg, kw in [("vanilla", {}), ("checkpoint", {}), ("fused", {}),
+                    ("flash", {"num_segments": segs}),
+                    ("flash", {"num_segments": segs, "mode": "lean"}),
+                    ("flash_bs", {"beam_width": K, "num_segments": segs}),
+                    ("beam", {"beam_width": K}),
+                    ("auto", {})]:
+        r = fvt.decode(hmm, y, algorithm=alg, pad_to=pad, warmup=False, **kw)
+        check(f"exact:{alg}:{kw}", (r.path == want).all(), f"{ctx} pad={pad}")
+
+    # beam family vs fp32 mirrors
+    r = fvt.decode(hmm, y, algorithm="flash_bs", beam_width=bw,
+                   num_segments=segs, pad_to=pad, warmup=False)
+    m = ofw.flash_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw,
+                     num_segments=segs)
+    check("flash_bs-mirror", (r.path == m).all(), f"{ctx} pad={pad}")
+
+    r = fvt.decode(hmm, y, algorithm="sieve_bs_mp", beam_width=bw,
+                   pad_to=pad, warmup=False)
+    m = ofw.sieve_bs_mp(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+    check("sieve_bs_mp-mirror", (r.path == np.asarray(m)[:T]).all(),
+          f"{ctx} pad={pad}")
+
+    pairs = ofw.sieve_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+    r = fvt.decode(hmm, y, algorithm="sieve_bs", beam_width=bw,
+                   pad_to=pad, warmup=False)
+    if pairs:
+        flat = np.asarray([pairs[0][0], pairs[0][1]]
+                          + [p[1] for p in pairs[1:]])[:T]
+        wantp = np.full(T, -1, np.int64)
+        wantp[: len(flat)] = flat
+        check("sieve_bs-mirror", (r.path == wantp).all(), f"{ctx} pad={pad}")
+    else:
+        check("sieve_bs-mirror-empty", (r.path == -1).all() or T == 1,
+              f"{ctx} pad={pad}")
+
+    # sieve_mp vs its f32 oracle
+    from flash_viterbi_tpu.oracle.sieve import sieve_mp
+    r = fvt.decode(hmm, y, algorithm="sieve_mp", pad_to=pad, warmup=False)
+    m = sieve_mp(hmm.A, hmm.B, hmm.Pi, y, numerics="f32")
+    check("sieve_mp-oracle", (r.path == m).all(), f"{ctx} pad={pad}")
+
+    # sharded path vs single-chip (virtual mesh), random mesh shape
+    if seed % 3 == 0:
+        from flash_viterbi_tpu.parallel.sharded import (flash_decode_sharded,
+                                                        make_mesh)
+        lh = hmm.log().padded(8)
+        n_seq = int(rng.choice([1, 2]))
+        n_state = int(rng.choice([1, 2]))
+        n_data = int(rng.choice([1, 2]))
+        try:
+            mesh = make_mesh(n_data, n_seq, n_state)
+        except Exception as e:
+            mesh = None
+            check("make_mesh", False, f"{ctx} mesh=({n_data},{n_seq},{n_state}) {e}")
+        if mesh is not None:
+            nb = n_data * int(rng.choice([1, 2]))
+            segs_sh = max(n_seq, (segs // n_seq) * n_seq)  # documented req
+            ys = np.stack([y] * nb)
+            out = flash_decode_sharded(mesh, jnp.asarray(lh.logA),
+                                       jnp.asarray(lh.logB),
+                                       jnp.asarray(lh.logPi),
+                                       jnp.asarray(ys, jnp.int32),
+                                       num_segments=segs_sh,
+                                       pipeline="auto" if seed % 2 else False)
+            ok = all((np.asarray(out[i]) == want).all() for i in range(nb))
+            check("sharded", ok,
+                  f"{ctx} mesh=({n_data},{n_seq},{n_state}) nb={nb} "
+                  f"pipe={bool(seed % 2)}")
+
+
+for i in range(N_ROUNDS):
+    one_round(SEED0 + i)
+    if (i + 1) % 10 == 0:
+        print(f"# {i + 1}/{N_ROUNDS} rounds, {len(failures)} failures",
+              flush=True)
+
+print(f"DONE: {N_ROUNDS} rounds, {len(failures)} failures")
+sys.exit(1 if failures else 0)
