@@ -12,7 +12,11 @@ Run:  nohup python scripts/config5_run.py > results/config5.log 2>&1 &
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -19,8 +19,12 @@ Then run separately (hours-scale):
 """
 
 import json
+import os
+import sys
 import time
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -5,6 +5,10 @@ Run: nohup python scripts/scale_rows.py > results/scale_rows.log 2>&1 &
 """
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from flash_viterbi_tpu.bench.harness import RunConfig, run_one
 

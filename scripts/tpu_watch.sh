@@ -4,6 +4,9 @@
 # config-5 long run.  Exactly one TPU process at a time (everything runs
 # sequentially in this loop).
 cd /root/repo || exit 1
+# cwd is NOT on sys.path for `python scripts/foo.py`; keep the axon TPU
+# plugin's site dir (never clobber it — the TPU registers from there)
+export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
 for i in $(seq 1 200); do
   if timeout 180 python -c "import jax; d=jax.devices(); assert d and d[0].platform=='tpu', d; print(d)" \
       > /tmp/tpu_probe.out 2>&1; then
