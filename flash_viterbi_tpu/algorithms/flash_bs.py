@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import Decoder, register
-from .flash import flash_midpoints
+from .flash import flash_midpoints, prop_schedule, segment_layout
 
 
 def beam_topk(full_scores: jax.Array, B: int):
@@ -60,11 +60,13 @@ def _phase1_beam(logA, logPi, emits, mids, B: int,
     full0 = logPi + emits[0]
     vals0, states0 = beam_topk(full0, B)
     planes0 = jnp.full((P, B), -1, dtype=jnp.int32)
-    prop = np.asarray([[j > m + 1 for m in mids] for j in range(1, T)], dtype=bool)
+    prop = prop_schedule(mids, T)
 
     if use_pallas:
         from ..ops.pallas.beam import beam_scan, beam_scan_planes
 
+        if T == 1:  # zero-step scan: the XLA path's empty-scan semantics
+            return states0[0], planes0[:, 0] if P else jnp.zeros((0,), jnp.int32)
         if P:
             hist, _slots, planes = beam_scan_planes(
                 logA, emits[1:], vals0, states0,
@@ -156,11 +158,9 @@ def flash_bs_decode(logA, logB, logPi, y, beam_width: int, num_segments: int = 8
                                  use_pallas=bool(use_pallas),
                                  interpret=_pallas_interpret())
 
-    starts_l = [0] + [m + 1 for m in mids]
-    ends_l = mids + [T - 1]
+    starts_l, lens_l, Lmax = segment_layout(mids, T)
     starts = jnp.asarray(starts_l, jnp.int32)
-    lens = jnp.asarray([e - s + 1 for s, e in zip(starts_l, ends_l)], jnp.int32)
-    Lmax = int(max(e - s + 1 for s, e in zip(starts_l, ends_l)))
+    lens = jnp.asarray(lens_l, jnp.int32)
 
     idx = jnp.minimum(starts[:, None] + jnp.arange(Lmax)[None, :], T - 1)
     seg_emits = emits[idx]

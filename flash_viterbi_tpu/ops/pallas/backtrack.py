@@ -82,6 +82,12 @@ def backtrack_pallas(ptrs: jax.Array, last_state: jax.Array,
 
     Returns:
       (T'+1,) int32 full path including ``last_state``.
+
+    ``last_state`` must be a valid state in [0, K).  Out-of-range values
+    diverge from ``maxplus.backtrack`` (whose gather clamps and walks row
+    0's chain): here no lane matches, so the walk emits -1 from there on.
+    No framework caller passes one (flash_bs's -1 beam-fallout sentinel
+    never reaches a backtrack).
     """
     Tm, K = ptrs.shape
     last = jnp.reshape(last_state.astype(jnp.int32), (1,))

@@ -162,8 +162,17 @@ def beam_scan(logA, emits, vals0, states0, interpret: bool = False):
     Returns:
       (hist (T', B) int32 beam states per step,
        slots (T', B) int32 winning previous-beam slot per new entry).
+
+    Input contract: finite or -inf scores only — a NaN anywhere in ``logA``
+    or ``emits`` breaks the masked-max top-B extraction (every comparison
+    is false, idx saturates to K).  Framework table builders map zero
+    probabilities to -inf and never produce NaN (``models/hmm.py``).
     """
     Tm = emits.shape[0]
+    B = vals0.shape[0]
+    if Tm == 0:  # zero-step scan (T=1 decode): nothing to walk
+        z = jnp.zeros((0, B), jnp.int32)
+        return z, z
     prop = jnp.zeros((Tm, 1), jnp.int32)
     hist, slots, _ = _call(logA, emits, vals0, states0, prop, 0, interpret)
     return hist, slots
@@ -178,8 +187,15 @@ def beam_scan_planes(logA, emits, vals0, states0, prop, interpret: bool = False)
     record-at-j==mid+1 contract, ``_phase1_beam``).
 
     Returns (hist, slots, planes (P, B) int32 at the final step).
+
+    Same no-NaN input contract as :func:`beam_scan`.
     """
     P = prop.shape[1]
+    Tm = emits.shape[0]
+    B = vals0.shape[0]
+    if Tm == 0:  # zero-step scan: planes were never recorded
+        z = jnp.zeros((0, B), jnp.int32)
+        return z, z, jnp.full((P, B), -1, jnp.int32)
     return _call(logA, emits, vals0, states0, prop, P, interpret)
 
 

@@ -62,7 +62,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..algorithms.flash import flash_midpoints
+from ..algorithms.flash import flash_midpoints, prop_schedule, segment_layout
 from ..ops import maxplus as mp
 from ..ops.pallas.backtrack import backtrack_pallas
 from ..ops.pallas.maxplus import (
@@ -256,13 +256,17 @@ def _flash_decode_pipelined(mesh, logA, logBT, logPi, ys, L: int, spd: int,
         my_finals = finals_t[n_seq - 1:]  # (n_mb, mb, K)
 
         # ---- anchor resolution: backward chain over blocks ----------------
+        # argmax locally BEFORE gathering: only the last seq device's final
+        # argmax is consumed, so ship (n_mb, mb) int32 over ICI instead of
+        # the full (n_mb, mb, K) fp32 score tensor (K x less traffic)
+        j_local = jnp.argmax(my_finals, axis=-1).astype(jnp.int32)
         if n_seq > 1:
             beta_all = jax.lax.all_gather(my_planes[:, :, 0, :], "seq")
-            finals_all = jax.lax.all_gather(my_finals, "seq")
+            j_all = jax.lax.all_gather(j_local, "seq")
         else:
             beta_all = my_planes[None, :, :, 0, :]
-            finals_all = my_finals[None]
-        j = jnp.argmax(finals_all[n_seq - 1], axis=-1).astype(jnp.int32)
+            j_all = j_local[None]
+        j = j_all[n_seq - 1]
         ends = [None] * n_seq
         ends[n_seq - 1] = j
         for rr in range(n_seq - 1, 0, -1):
@@ -395,10 +399,7 @@ def _phase1_sharded(logA_l, logPi_l, emits_l, mids: list[int], T: int):
     delta0 = _ag(logPi_l + emits_l[0])
     K = delta0.shape[0]
     planes0 = jnp.zeros((nP, K), dtype=jnp.int32)
-    prop = jnp.asarray(
-        np.asarray([[j > m + 1 for m in mids] for j in range(1, T)], dtype=bool)
-        if nP else np.zeros((T - 1, 0), dtype=bool)
-    )
+    prop = jnp.asarray(prop_schedule(mids, T))
 
     def step(carry, x):
         delta, planes = carry
@@ -478,11 +479,9 @@ def _flash_decode_legacy(mesh, logA, logB, logPi, ys, num_segments):
     spd = N // n_seq
 
     mids = flash_midpoints(0, T - 1, N) if N > 1 else []
-    starts_l = [0] + [m + 1 for m in mids]
-    ends_l = mids + [T - 1]
+    starts_l, lens_l, Lmax = segment_layout(mids, T)
     starts = jnp.asarray(starts_l, jnp.int32)
-    lens = jnp.asarray([e - s + 1 for s, e in zip(starts_l, ends_l)], jnp.int32)
-    Lmax = int(max(e - s + 1 for s, e in zip(starts_l, ends_l)))
+    lens = jnp.asarray(lens_l, jnp.int32)
 
     def local_fn(logA_l, logB_l, logPi_l, ys_l):
         return jax.vmap(
@@ -538,6 +537,14 @@ def flash_decode_sharded(mesh: Mesh, logA, logB, logPi, ys,
         raise ValueError(f"state axis {n_state} must divide padded K={K}")
     if Bs % n_data:
         raise ValueError(f"data axis {n_data} must divide batch {Bs}")
+    if T < 2 * n_seq:
+        raise ValueError(f"T={T} too short for seq axis {n_seq} "
+                         f"(each seq device needs a >=2-step segment)")
+    if num_segments is not None:
+        # clamp like the single-chip decoder (flash_decode: N <= T//2),
+        # rounded down to the required multiple of the seq axis
+        N = min(int(num_segments), max(1, T // 2))
+        num_segments = max(n_seq, (N // n_seq) * n_seq)
 
     plan = _pipeline_plan(T, n_seq, num_segments)
     if pipeline is True and plan is None:

@@ -42,6 +42,17 @@ def test_t1_forced_pallas():
         np.testing.assert_array_equal(r.path, want)
 
 
+@pytest.mark.parametrize("T", [1, 2, 3])
+def test_tiny_T_beam_kernel_path(T):
+    """flash_bs on the fused beam kernel at tiny T (regression: T=1 built
+    a zero-trip pallas grid and indexed hist[-1] of an empty array)."""
+    hmm, y = fvt.make_sparse_hmm(K=128, M=4, T=T, prob=0.4, seed=100 + T)
+    want = ofw.vanilla(hmm.A, hmm.B, hmm.Pi, y)
+    r = fvt.decode(hmm, y, algorithm="flash_bs", beam_width=hmm.K,
+                   use_pallas=True, num_segments=8, pad_to=1, warmup=False)
+    np.testing.assert_array_equal(r.path, want)
+
+
 def test_single_symbol_alphabet():
     hmm, y = fvt.make_sparse_hmm(K=8, M=1, T=5, prob=0.9, seed=5)
     want = ofw.vanilla(hmm.A, hmm.B, hmm.Pi, y)
