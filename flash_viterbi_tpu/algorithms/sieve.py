@@ -178,7 +178,10 @@ def sieve_mp_decode(logA, logB, logPi, y, A_posF,
         d0 = logPi + logB[:, y[0]]
         return jnp.argmax(d0).astype(jnp.int32)[None]
     if use_pallas == "auto":
-        use_pallas = True
+        # same convention as every sibling decoder: the kernel only on the
+        # TPU backend — elsewhere the bit-identical lax.scan path is far
+        # faster than the Pallas interpreter
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas and not kernel_supported(K):
         use_pallas = False  # K not tileable by the kernel; fall back cleanly
     interp = _pallas_interpret()
@@ -186,6 +189,12 @@ def sieve_mp_decode(logA, logB, logPi, y, A_posF,
     nodes = build_tree(T)
 
     iotaK = jnp.arange(K, dtype=jnp.int32)
+    # subset-uniform prior for unforced segments (reference :303-307).
+    # The oracle computes log(1/ksub) in float64 then truncates; a traced
+    # f32 log can differ by 1 ulp and flip exact argmax ties, so use a
+    # host-side f64->f32 table indexed by subset size (depends only on K)
+    unif_tab = jnp.asarray(
+        np.log(1.0 / np.arange(1, K + 1, dtype=np.float64)).astype(np.float32))
     # traced per-node state
     masks: dict[int, jax.Array] = {0: jnp.ones((K,), jnp.float32)}
     inits: dict[int, jax.Array] = {0: jnp.asarray(-1, jnp.int32)}
@@ -210,12 +219,6 @@ def sieve_mp_decode(logA, logB, logPi, y, A_posF,
             pen = jnp.where(mask > 0, 0.0, NEG)  # (S, K)
             seg_emits = seg_emits + pen[:, None, :]
 
-            # subset-uniform prior for unforced segments (reference :303-307).
-            # The oracle computes log(1/ksub) in float64 then truncates; a
-            # traced f32 log can differ by 1 ulp and flip exact argmax ties,
-            # so use a host-side f64->f32 table indexed by subset size.
-            unif_tab = jnp.asarray(
-                np.log(1.0 / np.arange(1, K + 1, dtype=np.float64)).astype(np.float32))
             ksub = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
             log_unif = unif_tab[ksub.astype(jnp.int32) - 1]
             root_pi = logPi[None, :] if depth == 0 else log_unif[:, None]
@@ -378,8 +381,11 @@ def sieve_bs_mp_decode(logA, logB_raw, logPi, y, A_posF, beam_width: int,
         starts = jnp.asarray([n.start for n in group])
 
         sym0 = y[starts]  # (S,)
-        # root Pi threads through every subproblem unchanged (reference
-        # Pi=Pi, :233); init over the segment's index set
+        # model Pi at every node — the C binary's convention
+        # (SIEVE-BS-Mp.c:332: log(vit->Pi[i]) re-applied per recursion);
+        # the Python chain instead threads Baseline.py's uniform log(1/K)
+        # (:493 Pi=Pi), identical on all reference fixtures (Pi IS uniform
+        # there).  We follow the C binary, like sieve_bs.
         T1 = jnp.where(mask > 0,
                        logPi[None, :] + emitQ[:, sym0].T, NEG)
 

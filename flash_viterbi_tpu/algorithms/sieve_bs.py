@@ -32,12 +32,21 @@ Documented deltas (identical off exact fp ties, same policy as
 ``sieve_bs_mp``): score ties resolve by lowest state index (the reference
 resolves by dict-insertion order); scores are fp32 (reference float64).
 
-Reference quirks kept: subproblems all use the *uniform* root prior
-(``build_adjacency`` defaults Pi=None → log(1/K), never the model Pi);
-emission misses contribute 0 (dict fallthrough :119-123); left children
-force ``last=x_a`` while right children inherit the parent's resolved
-``last`` (:207/:259); left recursions thread the parent's token set,
-right recursions get the median-step beam (:218-219).
+Prior semantics — the two reference implementations differ off their own
+fixtures: the C binary re-inits every recursion node from the **model Pi**
+(``SIEVE-BS.c:367``: ``log(vit->Pi[i]) + log B``), while the Python chain
+threads the root-call Pi, which ``Baseline.py:160`` always passes as
+uniform ``log(1/K)``.  They coincide on every reference fixture (the
+generator's Pi *is* uniform).  This decoder follows the **C binary**
+(model Pi at every node) — the artifact the repo verifies bit-exact —
+pinned by a non-uniform-Pi C-parity test; ``oracle.sieve_bs`` keeps the
+Baseline.py convention and is therefore a valid yardstick only for
+uniform model Pi.
+
+Reference quirks kept: emission misses contribute 0 (dict fallthrough
+:119-123); left children force ``last=x_a`` while right children inherit
+the parent's resolved ``last`` (:207/:259); left recursions thread the
+parent's token set, right recursions get the median-step beam (:218-219).
 
 Totality extension: when beam pruning eliminates every median candidate
 of a subproblem the reference *crashes* (KeyError at
@@ -86,7 +95,7 @@ def _bhop_counts(A_posF, hops: int):
 
 
 @partial(jax.jit, static_argnames=("B",))
-def _node_forward(logA, emitQ, A_posF, anc_cnt, desc_cnt, pi_log,
+def _node_forward(logA, emitQ, A_posF, anc_cnt, desc_cnt, logPi,
                   y_seg, n_valid, mask, tokens0, last_forced, B: int):
     """One recursion node's beam forward pass with dynamic-median tracking.
 
@@ -104,7 +113,8 @@ def _node_forward(logA, emitQ, A_posF, anc_cnt, desc_cnt, pi_log,
     iota = jnp.arange(K, dtype=jnp.int32)
 
     emit0 = emitQ[:, y_seg[0]]
-    T1_0 = jnp.where(mask > 0, pi_log + emit0, NEG)
+    # model Pi at every node (SIEVE-BS.c:367), not Baseline.py's uniform
+    T1_0 = jnp.where(mask > 0, logPi + emit0, NEG)
 
     # --- step j=1: every winning candidate writes its median (prev_val is
     # +inf), so the dense argmax is the exact sequential result ----------
@@ -238,14 +248,11 @@ def sieve_bs_decode(logA, logB_raw, logPi, y, beam_width: int,
     A_pos_np = np.asarray(A_posF) > 0
     emitQ = jnp.where(logB_raw > NEG, logB_raw, 0.0)
     # logical (non-padding) states: padded states are all -inf everywhere
-    # (same liveness rule as sieve_dyn) — the uniform prior must use the
-    # logical K (build_adjacency's log(1/K)), not the padded array length,
-    # or padding flips fp-tie outcomes
+    # (same liveness rule as sieve_dyn); the model-Pi prior is already
+    # -inf there, so padding cannot flip fp-tie outcomes
     real = (np.isfinite(np.asarray(logA)).any(axis=1)
             | np.isfinite(np.asarray(logB_raw)).any(axis=1)
             | np.isfinite(np.asarray(logPi)))
-    # uniform root prior for every subproblem (build_adjacency Pi=None)
-    pi_log = jnp.float32(np.float64(np.log(1.0 / max(1, int(real.sum())))))
     b = T if b_hops is None else int(b_hops)
     # visited-gated BFS saturates after at most K productive hops (every
     # state, incl. a cycle-re-reached source, enters `visited` once), so
@@ -272,7 +279,7 @@ def sieve_bs_decode(logA, logB_raw, logPi, y, beam_width: int,
         y_pad = np.zeros((Lp,), np.int32)
         y_pad[:L] = y_seg
         x_a, x_b, n_left, tokens_right, last_r = _node_forward(
-            logA, emitQ, A_posF, anc_cnt, desc_cnt, pi_log,
+            logA, emitQ, A_posF, anc_cnt, desc_cnt, logPi,
             jnp.asarray(y_pad), jnp.asarray(L, jnp.int32),
             jnp.asarray(mask_np, jnp.float32),
             jnp.asarray(tokens0, jnp.float32),
@@ -307,17 +314,14 @@ def _memory(K: int, T: int, beam_width: int = 64, **_) -> int:
 
 @register("sieve_bs")
 def _build(beam_width: int = 64, b_hops: int | None = None, **static) -> Decoder:
+    from .sieve_dyn import _flatten
+
     def fn(logA, logB, logPi, y):
         pairs = sieve_bs_decode(logA, logB, logPi, y, beam_width=beam_width,
                                 b_hops=b_hops)
-        # pretty_print_path layout: p0.x, p0.y, then .y of each later pair
-        if not pairs:
-            return jnp.zeros((int(y.shape[0]),), jnp.int32)
-        flat = [pairs[0][0], pairs[0][1]] + [p[1] for p in pairs[1:]]
-        T = int(y.shape[0])
-        out = np.full((T,), -1, np.int32)
-        out[:min(len(flat), T)] = np.asarray(flat[:T], np.int32)
-        return jnp.asarray(out)
+        # shared pretty_print_path flattening (all -1 when nothing resolved,
+        # the family's unresolved-position convention)
+        return jnp.asarray(_flatten(pairs, int(y.shape[0])))
 
     return Decoder("sieve_bs", fn,
                    {"beam_width": beam_width, "b_hops": b_hops, **static},

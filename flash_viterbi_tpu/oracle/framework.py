@@ -299,11 +299,9 @@ def sieve_bs(A, B_mat, Pi, y, beam_width: int, b_hops=None) -> list:
     NEG = F32(-np.inf)
     A_pos = logA > NEG
     emitQ = np.where(logB > NEG, logB, F32(0.0)).astype(F32)
-    # same liveness rule as the decoder: the uniform prior uses the
-    # logical state count, so padded inputs mirror bit-exactly too
+    # same liveness rule as the decoder (padded states are dead everywhere)
     real = (np.isfinite(logA).any(axis=1) | np.isfinite(logB).any(axis=1)
             | np.isfinite(logPi))
-    pi_log = F32(np.float64(np.log(1.0 / max(1, int(real.sum())))))
     iota = np.arange(K)
     b = T if b_hops is None else int(b_hops)
     hops = min(max(b - 1, 0), K)
@@ -337,7 +335,8 @@ def sieve_bs(A, B_mat, Pi, y, beam_width: int, b_hops=None) -> list:
     def node_forward(mask, y_seg, tokens0, last_forced):
         L = len(y_seg)
         Thalf = F32(L) / F32(2.0)
-        T1_0 = np.where(mask, (pi_log + emitQ[:, y_seg[0]]).astype(F32), NEG)
+        # model Pi at every node (SIEVE-BS.c:367), like the device decoder
+        T1_0 = np.where(mask, (logPi + emitQ[:, y_seg[0]]).astype(F32), NEG)
         src = np.where(tokens0, T1_0, NEG)
         cand = np.where(A_pos, (src[:, None] + logA).astype(F32), NEG)
         cand = (cand + emitQ[:, y_seg[1]][None, :]).astype(F32)

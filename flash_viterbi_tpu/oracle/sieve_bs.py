@@ -287,7 +287,13 @@ def _sieve_bs_rec(ctx: _Ctx, indices, frames, last, active_tokens):
 
 def sieve_bs(A, B, Pi, y, beam_width: int, b_hops: int | None = None) -> list:
     """Full SIEVE-BS run; returns the in-order median-pair list (the
-    reference's ``self.path``, flattened by ``pretty_print_path``)."""
+    reference's ``self.path``, flattened by ``pretty_print_path``).
+
+    Follows the Python chain's prior (Baseline.py:160: uniform log(1/K),
+    the ``Pi`` argument is unused like the reference's caller); the C
+    binary uses the model Pi instead (SIEVE-BS.c:367) — identical on all
+    reference fixtures.  The device decoder follows the C binary, so this
+    oracle is a valid yardstick only for uniform model Pi."""
     pi, A_out, A_in, acoustic = build_adjacency(A, B)
     ctx = _Ctx(pi, A_out, A_in, acoustic, beam_width)
     K = len(A_out)

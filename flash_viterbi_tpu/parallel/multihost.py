@@ -35,24 +35,37 @@ from .sharded import AXES
 _initialized = False
 
 
+# env vars that mark a multi-host TPU/pod runtime where
+# jax.distributed.initialize() can auto-detect its arguments
+_POD_ENV = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
+
+
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> bool:
     """Join the jax.distributed runtime; returns True if multi-process.
 
-    No-op (returns False) for single-process runs, so callers can use it
-    unconditionally.  On TPU pods the arguments are auto-detected; for
-    CPU/GPU test rigs pass them explicitly.
+    No-op (returns False) for plain single-process runs, so callers can
+    use it unconditionally.  A no-argument call on a TPU pod (detected via
+    the runtime's coordinator env vars) invokes the library's argument
+    auto-detection; for CPU/GPU test rigs pass the arguments explicitly.
     """
     global _initialized
-    if num_processes in (None, 1) and coordinator_address is None:
+    auto = (coordinator_address is None and num_processes is None
+            and process_id is None
+            and any(k in os.environ for k in _POD_ENV))
+    if num_processes in (None, 1) and coordinator_address is None and not auto:
         return False
     if not _initialized:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+        if auto:
+            jax.distributed.initialize()  # pod runtime: full auto-detect
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
         _initialized = True
     return True
 

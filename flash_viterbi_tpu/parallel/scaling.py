@@ -87,7 +87,13 @@ def analyze(mesh_shape: tuple[int, int, int], K: int, T: int, batch: int,
         raise ValueError("data axis size must divide the batch")
     Bd = B // d
     mb = min(mb, Bd)
-    n_mb = max(1, Bd // mb)
+    if Bd % mb:
+        # mirror the implementation (sharded._flash_decode_pipelined): a
+        # non-dividing microbatch is not a runnable config, so modeling it
+        # would silently drop Bd % mb sequences from the accounting
+        raise ValueError(
+            f"microbatch {mb} must divide the per-data-shard batch {Bd}")
+    n_mb = Bd // mb
     if num_segments is None:
         num_segments = 4 * s
     L = T // s
@@ -114,7 +120,10 @@ def analyze(mesh_shape: tuple[int, int, int], K: int, T: int, batch: int,
     bytes_seq = 0.0
     if s > 1:
         bytes_seq += ticks * mb * K * 4                  # delta hops
-        bytes_seq += 2 * (s - 1) * Bd * K * 4            # beta + finals gather
+        bytes_seq += (s - 1) * Bd * K * 4                # beta plane gather
+        # finals: argmaxed locally before the gather (sharded.py), so the
+        # collective ships (n_mb, mb) int32 per device, not (.., K) fp32
+        bytes_seq += (s - 1) * Bd * 4
         bytes_seq += math.ceil(math.log2(s)) * Bd * T * 4  # path psum
     ici_bytes = bytes_state + bytes_seq
 
@@ -184,11 +193,22 @@ def measure_virtual(mesh_shapes, K: int = 64, M: int = 8, T: int = 64,
     logPi = jnp.asarray(lh.logPi)
     ys = jnp.stack([jnp.asarray(y, jnp.int32)] * batch)
 
+    # one segment count valid for EVERY shape (a multiple of each seq axis,
+    # <= T//2) so every sharding decodes the same tree — passing a fixed 8
+    # would let flash_decode_sharded renegotiate per shape, silently
+    # diverging from the counters and from the base path on fp ties
+    l = 1
+    for shape in mesh_shapes:
+        l = math.lcm(l, shape[1])
+    segs = max(l, (min(8, T // 2) // l) * l)
+    if T < 2 * segs:
+        raise ValueError(f"T={T} too short for a common segment count "
+                         f"(seq axes need a multiple of {l})")
+
     rows = []
     base = None
     for shape in mesh_shapes:
         mesh = make_mesh(*shape)
-        segs = 8  # fixed across shapes so every sharding decodes the same tree
         out = np.asarray(flash_decode_sharded(mesh, logA, logB, logPi, ys,
                                               num_segments=segs))
         if base is None:

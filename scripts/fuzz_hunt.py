@@ -123,6 +123,9 @@ def one_round(seed):
 
 for i in range(N_ROUNDS):
     one_round(SEED0 + i)
+    # every round compiles fresh shapes; the in-process compile caches grow
+    # unbounded (LLVM JIT OOM after ~70 rounds) — drop them, hits are rare
+    jax.clear_caches()
     if (i + 1) % 10 == 0:
         print(f"# {i + 1}/{N_ROUNDS} rounds, {len(failures)} failures",
               flush=True)

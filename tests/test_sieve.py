@@ -109,6 +109,45 @@ def test_sieve_bs_c_bit_parity(tmp_path, name, K, M, T, prob, seed, bw):
     np.testing.assert_array_equal(cpath, flat)
 
 
+@pytest.mark.skipif(not (have_gcc() and have_glib()),
+                    reason="gcc or glib/shim not available")
+@pytest.mark.parametrize("name", ["sieve_bs", "sieve_bs_mp"])
+def test_sieve_bs_device_c_parity_nonuniform_pi(tmp_path, name):
+    """The C binaries re-init every recursion node from the MODEL Pi
+    (SIEVE-BS.c:367, SIEVE-BS-Mp.c:332); the reference Python threads
+    Baseline.py's uniform log(1/K) instead — indistinguishable on the
+    generators' uniform-Pi fixtures.  The device decoders follow the C
+    binaries; this non-uniform-Pi fixture pins that choice (and would
+    catch a uniform-prior regression outright, not just on fp ties)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu import decode
+
+    K, M, T, prob, seed, bw = 40, 8, 24, 0.3, 13, 10
+    hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+    rng = np.random.RandomState(77)
+    Pi = rng.uniform(0.05, 1.0, K)
+    hmm = dataclasses.replace(hmm, Pi=Pi / Pi.sum())
+    d = tmp_path / "data"; d.mkdir()
+    w = tmp_path / "work"; w.mkdir()
+    save_dataset(str(d), hmm, y, prob=prob)
+    cpath = build_and_run(name, str(w), K, M, T, prob, str(d), beam=bw)
+    r = decode(hmm, y, algorithm=name, beam_width=bw, pad_to=1, warmup=False)
+    np.testing.assert_array_equal(r.path[: len(cpath)], cpath)
+    # the fp32 mirrors share the model-Pi convention: bit-exact vs device
+    from flash_viterbi_tpu.oracle import framework as fw
+
+    mirror = {"sieve_bs": fw.sieve_bs, "sieve_bs_mp": fw.sieve_bs_mp}[name]
+    got = mirror(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+    if name == "sieve_bs":
+        flat = np.asarray([got[0][0], got[0][1]] + [p[1] for p in got[1:]])
+        np.testing.assert_array_equal(r.path[: len(flat)], flat)
+    else:
+        np.testing.assert_array_equal(r.path, np.asarray(got)[:T])
+
+
 def _load_ref_module(name):
     sys.path.insert(0, REF_PY)
     try:
