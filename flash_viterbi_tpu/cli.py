@@ -107,16 +107,29 @@ def cmd_compare(args) -> int:
         lines.append(f"path: {list(map(int, r.path))}")
         print(f"{alg:12s} {r.time_s*1e3:9.2f} ms  mem={r.memory_bytes}")
 
-    # oracle baselines (CPU reference semantics, like Baseline.py's originals)
-    for name, fn in [("SIEVE-Mp(oracle)", lambda: sieve_mp(hmm.A, hmm.B, hmm.Pi, y)),
-                     ("SIEVE-BS(oracle)", lambda: sieve_bs(hmm.A, hmm.B, hmm.Pi, y, beam)),
-                     ("SIEVE-BS-Mp(oracle)", lambda: sieve_bs_mp(hmm.A, hmm.B, hmm.Pi, y, beam))]:
-        t0 = _time.time()
-        out = fn()
-        dt = _time.time() - t0
-        lines.append(f"{name} Time: {dt:.5f}s")
-        lines.append(f"path: {out if isinstance(out, list) else list(map(int, out))}")
-        print(f"{name:20s} {dt*1e3:9.2f} ms")
+    # oracle baselines (CPU reference semantics, like Baseline.py's originals).
+    # The SIEVE-BS oracles keep the reference's build_adjacency, which
+    # materializes the full M x K^2 acoustic cross-product as dicts — at
+    # the headline K=3965 that is ~1e9 entries, infeasible exactly like
+    # Baseline.py itself would be.  Guard rather than hang; device rows
+    # above are still parity-checked via the fp32 mirrors (bench --parity).
+    adj_entries = M * K * K
+    if adj_entries > args.oracle_limit:
+        msg = (f"# SIEVE oracles skipped: M*K^2 = {adj_entries:.2e} dict "
+               f"entries exceeds --oracle-limit={args.oracle_limit:.0e} "
+               "(reference Baseline.py is equally infeasible at this size)")
+        lines.append(msg)
+        print(msg)
+    else:
+        for name, fn in [("SIEVE-Mp(oracle)", lambda: sieve_mp(hmm.A, hmm.B, hmm.Pi, y)),
+                         ("SIEVE-BS(oracle)", lambda: sieve_bs(hmm.A, hmm.B, hmm.Pi, y, beam)),
+                         ("SIEVE-BS-Mp(oracle)", lambda: sieve_bs_mp(hmm.A, hmm.B, hmm.Pi, y, beam))]:
+            t0 = _time.time()
+            out = fn()
+            dt = _time.time() - t0
+            lines.append(f"{name} Time: {dt:.5f}s")
+            lines.append(f"path: {out if isinstance(out, list) else list(map(int, out))}")
+            print(f"{name:20s} {dt*1e3:9.2f} ms")
 
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -187,6 +200,11 @@ def main(argv=None) -> int:
     _add_problem_args(c)
     c.add_argument("--segments", type=int, default=8)
     c.add_argument("--beam", type=int)
+    c.add_argument("--oracle-limit", type=float, default=5e7,
+                   dest="oracle_limit",
+                   help="skip the dict-based SIEVE oracles when M*K^2 "
+                        "exceeds this (they materialize the full adjacency "
+                        "cross-product, like the reference Baseline.py)")
     c.set_defaults(fn=cmd_compare)
 
     sc = sub.add_parser("scaling", help="ICI scaling model + virtual-mesh sweep")
