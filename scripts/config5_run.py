@@ -4,8 +4,17 @@ batch 8 x K=16384 x T=65536 through ``flash_decode_sharded`` on a (1,1,1)
 mesh — the full sharded code path (pipelined phase 1 + chunked
 fused-kernel phase 2, emissions gathered from the (M, K) table, part-wise
 backtrack) at the BASELINE north-star per-chip shape.  Validation:
-``checkpoint`` decodes two of the batch's sequences independently and the
-paths must match bit-for-bit.
+
+* bit-exact vs the single-chip ``flash_decode`` (same algorithm, same
+  segment count) on sequence 0 — the sharded orchestration must not
+  change a single argmax;
+* f64-rescored path score vs an independent ``checkpoint`` decode on two
+  sequences.  NOT a bit-compare: FLASH's phase 2 restarts each segment's
+  DP from its anchor, which rounds fp32 differently from the global
+  sweep and legitimately flips exact-tie argmaxes — the reference C
+  FLASH does the same (verified bit-exact against the compiled binary at
+  K=512, T=2048 where it differs from vanilla at 5 positions).  Both
+  paths must score within accumulated-fp32-rounding distance.
 
 Run:  nohup python scripts/config5_run.py > results/config5.log 2>&1 &
 (one TPU process at a time; takes ~1 h: two full timed runs + validation)
@@ -73,16 +82,47 @@ def main():
         "decode_updates_per_s": eff_updates / wall,
     }), flush=True)
 
-    # validation: independent checkpoint decode of two sequences
+    # validation 1: bit-exact vs the single-chip flash (same algorithm)
+    from flash_viterbi_tpu.algorithms.flash import flash_decode
+
+    t0 = time.time()
+    single = np.asarray(flash_decode(logA, logB, logPi, jnp.asarray(ys_np[0]),
+                                     num_segments=N_SEGMENTS, mode="pointer"))
+    bitmatch = bool((np.asarray(out[0]) == single).all())
+    print(json.dumps({"validate": "bit_vs_single_chip_flash", "match": bitmatch,
+                      "wall_s": time.time() - t0}), flush=True)
+    assert bitmatch, "sharded path diverged from single-chip flash"
+
+    # validation 2: f64-rescored optimality vs an independent checkpoint
+    # decode (path-level fp32 tie flips are legitimate — see module doc)
+    lA = np.asarray(lh.logA, np.float64)
+    lB = np.asarray(lh.logB, np.float64)
+    lP = np.asarray(lh.logPi, np.float64)
+
+    def score(p, yv):
+        s = lP[p[0]] + lB[p[0], yv[0]]
+        s += lA[p[:-1], p[1:]].sum() + lB[p[1:], yv[1:]].sum()
+        return float(s)
+
+    # accumulated fp32 rounding over T adds: T * eps * typical per-step
+    # magnitude; factor 32 gives headroom (measured gap at the scaled-down
+    # K=512/T=2048 dryrun was ~0.6x the factor-10 bound).  This check only
+    # guards gross breakage — the exactness claim is validation 1.
+    tol = T * 2.0 ** -23 * 32.0
     for b in (0, BATCH - 1):
         t0 = time.time()
-        ref = checkpoint_decode_pallas(logA, logB, logPi, jnp.asarray(ys_np[b]))
-        ref = np.asarray(ref)
+        ref = np.asarray(checkpoint_decode_pallas(logA, logB, logPi,
+                                                  jnp.asarray(ys_np[b])))
         got = np.asarray(out[b])
-        match = bool((got == ref).all())
-        print(json.dumps({"validate_seq": b, "match": match,
+        s_got, s_ref = score(got, ys_np[b]), score(ref, ys_np[b])
+        valid = bool(np.isfinite(s_got))
+        close = abs(s_got - s_ref) <= tol
+        print(json.dumps({"validate_seq": b, "score_sharded": s_got,
+                          "score_checkpoint": s_ref, "tol": tol,
+                          "path_bit_equal": bool((got == ref).all()),
                           "wall_s": time.time() - t0}), flush=True)
-        assert match, f"sequence {b} mismatch"
+        assert valid, f"sequence {b}: sharded path has -inf transitions"
+        assert close, f"sequence {b}: score gap {abs(s_got-s_ref)} > {tol}"
     print("CONFIG5 OK", flush=True)
 
 

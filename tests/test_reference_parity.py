@@ -77,3 +77,33 @@ def test_flash_bs_bit_parity(fixture_dir, tmp_path, threads, beam):
     got = oref.flash_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=beam,
                         threads=threads, numerics="c")
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("FVT_SLOW_TESTS"),
+                    reason="slow (~2 min): set FVT_SLOW_TESTS=1")
+def test_flash_tie_flip_c_parity(tmp_path):
+    """FLASH legitimately deviates from vanilla on exact fp32 ties: phase 2
+    restarts each segment's DP from its anchor state, rounding differently
+    from the global sweep.  At K=512, T=2048 (prob=0.112, seed=1) the
+    deviation is 5 positions — and the compiled reference C FLASH
+    (src/FLASH_Viterbi_multithread.c) must deviate at the SAME positions,
+    bit-identically to both our decoder and the f32 mirror.  Pins the
+    tie-flip arbitration used by bench._parity and scripts/fuzz_hunt."""
+    import flash_viterbi_tpu as fvt
+
+    Kb, Mb, Tb, prob, seed = 512, 50, 2048, 0.112, 1
+    hmm, y = make_sparse_hmm(K=Kb, M=Mb, T=Tb, prob=prob, seed=seed)
+    d = tmp_path / "data"; d.mkdir()
+    w = tmp_path / "work"; w.mkdir()
+    save_dataset(str(d), hmm, y, prob=prob)
+    cpath = build_and_run("flash", str(w), Kb, Mb, Tb, prob, str(d), threads=4)
+
+    r = fvt.decode(hmm, y, algorithm="flash", num_segments=4, warmup=False)
+    np.testing.assert_array_equal(r.path, cpath)
+
+    mirror = oref.flash(hmm.A, hmm.B, hmm.Pi, y, threads=4, numerics="f32")
+    np.testing.assert_array_equal(mirror, cpath)
+
+    van = fvt.decode(hmm, y, algorithm="vanilla", warmup=False)
+    flips = np.nonzero(np.asarray(van.path) != np.asarray(cpath))[0]
+    assert len(flips) == 5, flips  # the documented tie flips exist
