@@ -82,16 +82,32 @@ def main():
         "decode_updates_per_s": eff_updates / wall,
     }), flush=True)
 
-    # validation 1: bit-exact vs the single-chip flash (same algorithm)
+    # validation 1: bit-exact vs the single-chip flash (same algorithm).
+    # Pointer mode holds T*K*4 = 4 GiB of pointer tables at this shape; if
+    # that doesn't fit alongside the tables, fall back to lean mode (O(N*K)
+    # memory, bit-identical by tests) rather than losing the measurement.
     from flash_viterbi_tpu.algorithms.flash import flash_decode
 
     t0 = time.time()
-    single = np.asarray(flash_decode(logA, logB, logPi, jnp.asarray(ys_np[0]),
-                                     num_segments=N_SEGMENTS, mode="pointer"))
-    bitmatch = bool((np.asarray(out[0]) == single).all())
-    print(json.dumps({"validate": "bit_vs_single_chip_flash", "match": bitmatch,
-                      "wall_s": time.time() - t0}), flush=True)
-    assert bitmatch, "sharded path diverged from single-chip flash"
+    single = None
+    for mode in ("pointer", "lean"):
+        try:
+            single = np.asarray(flash_decode(logA, logB, logPi,
+                                             jnp.asarray(ys_np[0]),
+                                             num_segments=N_SEGMENTS,
+                                             mode=mode))
+            break
+        except Exception as e:
+            print(json.dumps({"validate": "bit_vs_single_chip_flash",
+                              "mode": mode,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+    if single is not None:
+        bitmatch = bool((np.asarray(out[0]) == single).all())
+        print(json.dumps({"validate": "bit_vs_single_chip_flash",
+                          "mode": mode, "match": bitmatch,
+                          "wall_s": time.time() - t0}), flush=True)
+        assert bitmatch, "sharded path diverged from single-chip flash"
 
     # validation 2: f64-rescored optimality vs an independent checkpoint
     # decode (path-level fp32 tie flips are legitimate — see module doc)
