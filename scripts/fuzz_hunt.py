@@ -134,17 +134,24 @@ def one_round(seed):
         if mesh is not None:
             nb = n_data * int(rng.choice([1, 2]))
             segs_sh = max(n_seq, (segs // n_seq) * n_seq)  # documented req
+            mb = int(rng.choice([1, nb // n_data]))  # must divide the shard
             ys = np.stack([y] * nb)
             out = flash_decode_sharded(mesh, jnp.asarray(lh.logA),
                                        jnp.asarray(lh.logB),
                                        jnp.asarray(lh.logPi),
                                        jnp.asarray(ys, jnp.int32),
                                        num_segments=segs_sh,
+                                       microbatch=mb,
                                        pipeline="auto" if seed % 2 else False)
-            ok = all((np.asarray(out[i]) == want).all() for i in range(nb))
+            # invariant: bit-equal to single-chip flash with the same
+            # segment count (NOT vanilla — flash may tie-flip, see
+            # docs/DESIGN.md §1)
+            want_sh = fvt.decode(hmm, y, algorithm="flash", pad_to=8,
+                                 num_segments=segs_sh, warmup=False).path
+            ok = all((np.asarray(out[i]) == want_sh).all() for i in range(nb))
             check("sharded", ok,
                   f"{ctx} mesh=({n_data},{n_seq},{n_state}) nb={nb} "
-                  f"pipe={bool(seed % 2)}")
+                  f"mb={mb} pipe={bool(seed % 2)}")
 
 
 for i in range(N_ROUNDS):
