@@ -3,14 +3,21 @@
 # queue: measurement steps, the pytest TPU tier, bench.py, and the
 # config-5 long run.  Exactly one TPU process at a time (everything runs
 # sequentially in this loop).
+#
+# Deadline-based (default 10 h of probing) rather than attempt-counted:
+# probe failures can be fast (connection refused) or slow (180 s hang),
+# so a fixed attempt budget exhausts unpredictably.
 cd /root/repo || exit 1
 # cwd is NOT on sys.path for `python scripts/foo.py`; keep the axon TPU
 # plugin's site dir (never clobber it — the TPU registers from there)
 export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
-for i in $(seq 1 200); do
+DEADLINE=$(( $(date +%s) + ${TPU_WATCH_BUDGET_S:-36000} ))
+i=0
+while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+  i=$((i + 1))
   if timeout 180 python -c "import jax; d=jax.devices(); assert d and d[0].platform=='tpu', d; print(d)" \
       > /tmp/tpu_probe.out 2>&1; then
-    echo "TPU up at attempt $i: $(cat /tmp/tpu_probe.out)"
+    echo "TPU up at attempt $i ($(date -u +%H:%M:%S)): $(cat /tmp/tpu_probe.out)"
     echo "== round2_measure =="
     timeout 5400 python scripts/round2_measure.py > results/round2_measure.log 2>&1
     echo "measure exit: $?"
@@ -26,7 +33,8 @@ for i in $(seq 1 200); do
     echo "config5 exit: $?"
     exit 0
   fi
+  echo "probe $i failed ($(date -u +%H:%M:%S)): $(tail -c 200 /tmp/tpu_probe.out | tr '\n' ' ')"
   sleep 120
 done
-echo "TPU never came back"
+echo "TPU never came back before the deadline"
 exit 1
