@@ -107,3 +107,56 @@ def test_flash_tie_flip_c_parity(tmp_path):
     van = fvt.decode(hmm, y, algorithm="vanilla", warmup=False)
     flips = np.nonzero(np.asarray(van.path) != np.asarray(cpath))[0]
     assert len(flips) == 5, flips  # the documented tie flips exist
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("FVT_SLOW_TESTS"),
+                    reason="slow (~2 min): set FVT_SLOW_TESTS=1")
+def test_medium_shape_c_parity_sweep(tmp_path):
+    """C-bit parity beyond toy shapes, one medium fixture per family,
+    each family checked through its documented chain (DESIGN.md §1):
+    C binary == oracle(numerics='c'), framework == its f32 mirror, and
+    for the SIEVE-BS family the device decoder == the C binary directly
+    (both fp32-facing at these shapes)."""
+    import flash_viterbi_tpu as fvt
+    from flash_viterbi_tpu.oracle import framework as ofw
+
+    def fixture(K, M, T, prob, seed, sub):
+        hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+        d = tmp_path / f"d{sub}"; d.mkdir()
+        w = tmp_path / f"w{sub}"; w.mkdir()
+        save_dataset(str(d), hmm, y, prob=prob)
+        return hmm, y, str(d), str(w)
+
+    # checkpoint @ K=512, T=2048
+    Ka, Ma, Ta, pa, sa = 512, 50, 2048, 0.112, 1
+    hmm, y, d, w = fixture(Ka, Ma, Ta, pa, sa, 0)
+    cp = build_and_run("checkpoint", w, Ka, Ma, Ta, pa, d)
+    np.testing.assert_array_equal(
+        oref.checkpoint(hmm.A, hmm.B, hmm.Pi, y, numerics="c"), cp)
+    # vanilla: same fixture, same chain
+    cp = build_and_run("vanilla", w, Ka, Ma, Ta, pa, d)
+    np.testing.assert_array_equal(
+        oref.vanilla(hmm.A, hmm.B, hmm.Pi, y, numerics="c"), cp)
+
+    # flash_bs @ K=512, T=1024, B=32
+    Kb, Tb, bw, th = 512, 1024, 32, 4
+    hmm, y, d, w = fixture(Kb, Ma, Tb, pa, sa, 1)
+    cp = build_and_run("flash_bs", w, Kb, Ma, Tb, pa, d, threads=th, beam=bw)
+    np.testing.assert_array_equal(
+        oref.flash_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw, threads=th,
+                      numerics="c"), cp)
+    r = fvt.decode(hmm, y, algorithm="flash_bs", beam_width=bw,
+                   num_segments=th, warmup=False)
+    m = ofw.flash_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw, num_segments=th)
+    np.testing.assert_array_equal(r.path, np.asarray(m)[:Tb])
+
+    # SIEVE-BS family @ K=256: device decoder vs C binary directly
+    from .ref_compile import have_glib
+    if have_glib():
+        Kc, Mc, Tc, pc, sc, bwc = 256, 20, 128, 0.1, 3, 24
+        hmm, y, d, w = fixture(Kc, Mc, Tc, pc, sc, 2)
+        for name in ("sieve_bs", "sieve_bs_mp"):
+            cp = build_and_run(name, w, Kc, Mc, Tc, pc, d, beam=bwc)
+            r = fvt.decode(hmm, y, algorithm=name, beam_width=bwc,
+                           warmup=False)
+            np.testing.assert_array_equal(np.asarray(r.path)[: len(cp)], cp)
