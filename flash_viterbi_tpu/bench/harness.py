@@ -99,23 +99,30 @@ def _parity(cfg, hmm, y, path, dec, tables):
         want = oracle.vanilla(hmm.A, hmm.B, hmm.Pi, y)
         if bool((path == want).all()):
             return True
-        # FLASH restarts each segment's DP from its anchor state, which
-        # rounds fp32 differently from the global sweep and legitimately
-        # flips exact-tie argmaxes at large T*K — the reference C FLASH
-        # does the same (bit-verified against the compiled binary at
-        # K=512, T=2048, where it differs from vanilla at 5 positions).
-        # Arbitrate those rows against the bit-exact f32 FLASH mirror.
+        # flash-family rows may legitimately tie-flip vs vanilla
+        # (docs/DESIGN.md §1) — arbitrate against the f32 FLASH mirror.
+        # Re-derive auto's routing the way the decoder actually routed:
+        # padded state count, with the decoder's own static overrides
+        # (incl. memory_budget_bytes) — see the matching derivation in
+        # run_one's memory accounting.
         routed = alg
         if alg == "auto":
             from ..algorithms.auto import choose
-            routed, _ = choose(cfg.K, cfg.T, beam_width=cfg.beam_width,
-                               static={"num_segments": cfg.num_segments})
+            Kp = tables[0].shape[0]
+            st = {k: v for k, v in dec.static.items()
+                  if k not in ("memory_budget_bytes", "beam_width")}
+            routed, _ = choose(Kp, cfg.T,
+                               memory_budget_bytes=dec.static.get(
+                                   "memory_budget_bytes"),
+                               beam_width=cfg.beam_width, static=st)
         if routed != "flash":
             return False
-        from ..oracle.reference import flash as flash_mirror
-        want = flash_mirror(hmm.A, hmm.B, hmm.Pi, y,
-                            threads=cfg.num_segments, numerics="f32")
-        return bool((path == np.asarray(want)).all())
+        from ..oracle.validate import arbitrate_flash_tie_flip
+        ok = arbitrate_flash_tie_flip(hmm.A, hmm.B, hmm.Pi, y, path,
+                                      cfg.num_segments)
+        if ok is None:  # mirror too costly / unfaithful at this shape
+            return "tie-flip-unarbitrated"
+        return ok
     if alg == "flash_bs":
         want = fw.flash_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw,
                            num_segments=cfg.num_segments)

@@ -1,0 +1,92 @@
+"""Shared path-validation helpers: f64 rescoring and FLASH tie-flip
+arbitration.
+
+Used by ``bench.harness._parity``, ``scripts/fuzz_hunt.py`` and the
+hardware measurement scripts so the "what counts as a failure" logic has
+exactly one implementation.
+
+Background (docs/DESIGN.md §1): FLASH restarts each segment's DP from its
+anchor state, rounding fp32 differently from the global sweep, so it
+legitimately flips exact-tie argmaxes at large T*K — the reference C FLASH
+does the same (``tests/test_reference_parity.py::test_flash_tie_flip_c_parity``).
+A flash-family path that mismatches vanilla must therefore be arbitrated
+against the bit-exact f32 FLASH mirror (``oracle.reference.flash``), and a
+cross-algorithm comparison at scale can only use f64-rescored path scores.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def path_score_f64(A, B_mat, Pi, y, path) -> float:
+    """f64 log-score of ``path`` under probability tables (A, B, Pi)."""
+    with np.errstate(divide="ignore"):
+        lA = np.log(np.asarray(A, np.float64))
+        lB = np.log(np.asarray(B_mat, np.float64))
+        lP = np.log(np.asarray(Pi, np.float64))
+    return log_path_score_f64(lA, lB, lP, y, path)
+
+
+def log_path_score_f64(logA, logB, logPi, y, path) -> float:
+    """f64 log-score of ``path`` under (possibly fp32) log tables."""
+    lA = np.asarray(logA, np.float64)
+    lB = np.asarray(logB, np.float64)
+    lP = np.asarray(logPi, np.float64)
+    p = np.asarray(path)
+    yv = np.asarray(y)
+    return float(lP[p[0]] + lB[p[0], yv[0]]
+                 + lA[p[:-1], p[1:]].sum() + lB[p[1:], yv[1:]].sum())
+
+
+def score_tolerance_f64(T: int, ref_score: float) -> float:
+    """Gross-breakage bound for comparing two fp32-optimal paths' f64
+    scores.  Tie-flip accumulation stays well under one transition's
+    weight; a genuine algorithmic error costs O(-log p) ~ 5-15 per bad
+    transition, which this bound still catches (max 2.0, or 64 final-score
+    ulps when the score is large)."""
+    return max(2.0, 64.0 * 2.0 ** -23 * abs(ref_score))
+
+
+def effective_flash_segments(T: int, num_segments: int) -> int:
+    """The segment count ``flash_decode`` actually runs with (its clamp)."""
+    N = int(num_segments)
+    if N < 1 or T < 2 * N:
+        N = max(1, min(N, T // 2)) or 1
+    return N
+
+
+# one mirror sweep costs ~T*log2(T) trellis steps of K^2 vectorized numpy;
+# 4e10 cells ~= 1-2 min single-threaded — covers the K=3965/T=256 headline,
+# gates long-T shapes where the mirror would take hours
+FLASH_MIRROR_MAX_CELLS = 4e10
+
+
+def flash_mirror_cells(K: int, T: int) -> float:
+    return float(T) * K * K * (1 + math.ceil(math.log2(max(2, T))))
+
+
+def arbitrate_flash_tie_flip(A, B_mat, Pi, y, path, num_segments: int,
+                             max_cells: float = FLASH_MIRROR_MAX_CELLS):
+    """Arbitrate a flash-vs-vanilla path mismatch against the f32 mirror.
+
+    Returns True (mirror bit-match: a legitimate tie flip), False (genuine
+    mismatch), or None when no faithful arbitration exists: either the
+    mirror is too costly at this shape (``max_cells``), or the effective
+    segment count is <= 2, where ``oracle.reference.flash`` takes its
+    single-binary-split fallback (reference :281) — a different
+    segmentation from the device's midpoint scheme, so a mirror diff would
+    not be evidence either way.
+    """
+    T = len(np.asarray(y))
+    n_eff = effective_flash_segments(T, num_segments)
+    if n_eff <= 2:
+        return None
+    K = np.asarray(A).shape[0]
+    if flash_mirror_cells(K, T) > max_cells:
+        return None
+    from .reference import flash as flash_mirror
+    want = flash_mirror(A, B_mat, Pi, y, threads=n_eff, numerics="f32")
+    return bool((np.asarray(path) == np.asarray(want)).all())

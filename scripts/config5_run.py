@@ -102,7 +102,8 @@ def main():
                               "mode": mode,
                               "error": f"{type(e).__name__}: {e}"[:300]}),
                   flush=True)
-    if single is not None:
+    bit_checked = single is not None
+    if bit_checked:
         bitmatch = bool((np.asarray(out[0]) == single).all())
         print(json.dumps({"validate": "bit_vs_single_chip_flash",
                           "mode": mode, "match": bitmatch,
@@ -110,27 +111,23 @@ def main():
         assert bitmatch, "sharded path diverged from single-chip flash"
 
     # validation 2: f64-rescored optimality vs an independent checkpoint
-    # decode (path-level fp32 tie flips are legitimate — see module doc)
-    lA = np.asarray(lh.logA, np.float64)
-    lB = np.asarray(lh.logB, np.float64)
-    lP = np.asarray(lh.logPi, np.float64)
+    # decode (path-level fp32 tie flips are legitimate — see module doc).
+    # Gross-breakage guard only (one genuinely wrong transition costs
+    # O(-log p) ~ 11 here, well above the tolerance); the exactness claim
+    # is validation 1.
+    from flash_viterbi_tpu.oracle.validate import (
+        log_path_score_f64,
+        score_tolerance_f64,
+    )
 
-    def score(p, yv):
-        s = lP[p[0]] + lB[p[0], yv[0]]
-        s += lA[p[:-1], p[1:]].sum() + lB[p[1:], yv[1:]].sum()
-        return float(s)
-
-    # accumulated fp32 rounding over T adds: T * eps * typical per-step
-    # magnitude; factor 32 gives headroom (measured gap at the scaled-down
-    # K=512/T=2048 dryrun was ~0.6x the factor-10 bound).  This check only
-    # guards gross breakage — the exactness claim is validation 1.
-    tol = T * 2.0 ** -23 * 32.0
     for b in (0, BATCH - 1):
         t0 = time.time()
         ref = np.asarray(checkpoint_decode_pallas(logA, logB, logPi,
                                                   jnp.asarray(ys_np[b])))
         got = np.asarray(out[b])
-        s_got, s_ref = score(got, ys_np[b]), score(ref, ys_np[b])
+        s_got = log_path_score_f64(lh.logA, lh.logB, lh.logPi, ys_np[b], got)
+        s_ref = log_path_score_f64(lh.logA, lh.logB, lh.logPi, ys_np[b], ref)
+        tol = score_tolerance_f64(T, s_ref)
         valid = bool(np.isfinite(s_got))
         close = abs(s_got - s_ref) <= tol
         print(json.dumps({"validate_seq": b, "score_sharded": s_got,
@@ -139,7 +136,15 @@ def main():
                           "wall_s": time.time() - t0}), flush=True)
         assert valid, f"sequence {b}: sharded path has -inf transitions"
         assert close, f"sequence {b}: score gap {abs(s_got-s_ref)} > {tol}"
-    print("CONFIG5 OK", flush=True)
+    if bit_checked:
+        print("CONFIG5 OK", flush=True)
+    else:
+        # both flash modes failed above: the measurement stands but the
+        # headline bit-exactness claim was NOT validated — say so loudly
+        # and exit nonzero so the queue log can't read as a full pass
+        print("CONFIG5 MEASURED; BIT-VALIDATION SKIPPED (both single-chip "
+              "flash modes failed — see errors above)", flush=True)
+        sys.exit(2)
 
 
 if __name__ == "__main__":

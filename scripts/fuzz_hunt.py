@@ -66,22 +66,26 @@ def one_round(seed):
         r = fvt.decode(hmm, y, algorithm=alg, pad_to=pad, warmup=False, **kw)
         ok = (r.path == want).all()
         if not ok:
-            # flash's per-segment anchor restart rounds fp32 differently
-            # from the global sweep — legitimate exact-tie flips (the
-            # reference C FLASH does the same).  Arbitrate against the
-            # bit-exact f32 mirror before calling it a failure.
+            # flash-family rows may legitimately tie-flip vs vanilla
+            # (docs/DESIGN.md §1) — arbitrate via the shared helper; None
+            # (n_eff <= 2: no faithful mirror) keeps the vanilla verdict,
+            # which at these tiny shapes essentially never flips.
+            from flash_viterbi_tpu.oracle.validate import (
+                arbitrate_flash_tie_flip,
+            )
             routed = alg
             if alg == "auto":
                 from flash_viterbi_tpu.algorithms.auto import choose
                 routed, _ = choose(K, T)
             if routed == "flash":
-                from flash_viterbi_tpu.oracle import reference as oref
-                m = oref.flash(hmm.A, hmm.B, hmm.Pi, y,
-                               threads=kw.get("num_segments", 8),
-                               numerics="f32")
-                ok = (np.asarray(r.path) == m).all()
+                verdict = arbitrate_flash_tie_flip(
+                    hmm.A, hmm.B, hmm.Pi, y, np.asarray(r.path),
+                    kw.get("num_segments", 8))
+                if verdict is not None:
+                    ok = verdict
             elif routed == "flash_bs":
-                m = ofw.flash_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=K,
+                m = ofw.flash_bs(hmm.A, hmm.B, hmm.Pi, y,
+                                 beam_width=kw.get("beam_width", K),
                                  num_segments=kw.get("num_segments", 8))
                 ok = (np.asarray(r.path) == np.asarray(m)[:T]).all()
         check(f"exact:{alg}:{kw}", ok, f"{ctx} pad={pad}")

@@ -123,14 +123,12 @@ def main():
                                          jnp.asarray(np.asarray(y, np.int32)),
                                          num_segments=4, mode="pointer"))
         bitmatch = bool((np.asarray(out[0]) == single).all())
-        lA = np.asarray(lh.logA, np.float64); lB = np.asarray(lh.logB, np.float64)
-        lP = np.asarray(lh.logPi, np.float64); yv = np.asarray(y, np.int32)
-
-        def score(p):
-            return float(lP[p[0]] + lB[p[0], yv[0]]
-                         + lA[p[:-1], p[1:]].sum() + lB[p[1:], yv[1:]].sum())
-
-        gap = abs(score(np.asarray(out[0])) - score(np.asarray(ref)))
+        from flash_viterbi_tpu.oracle.validate import log_path_score_f64
+        yv = np.asarray(y, np.int32)
+        gap = abs(log_path_score_f64(lh.logA, lh.logB, lh.logPi, yv,
+                                     np.asarray(out[0]))
+                  - log_path_score_f64(lh.logA, lh.logB, lh.logPi, yv,
+                                       np.asarray(ref)))
         upd = 1.0 * (T - 1) * K * K
         return {"config": f"K{K}xT{T}", "sharded_wall_s": round(wall_sh, 3),
                 "checkpoint_wall_s": round(wall_ck, 3),
