@@ -1,0 +1,74 @@
+"""Unit tests for oracle.validate — the shared failure-arbitration logic
+used by bench parity, the fuzz hunt, and the hardware scripts."""
+
+import numpy as np
+import pytest
+
+from flash_viterbi_tpu.models.generate import make_sparse_hmm
+from flash_viterbi_tpu.oracle.validate import (
+    arbitrate_flash_tie_flip,
+    effective_flash_segments,
+    flash_mirror_cells,
+    log_path_score_f64,
+    path_score_f64,
+    score_tolerance_f64,
+)
+
+
+def test_effective_flash_segments_matches_decoder_clamp():
+    # mirrors flash_decode's clamp exactly (algorithms/flash.py)
+    assert effective_flash_segments(2048, 4) == 4
+    assert effective_flash_segments(10, 8) == 5   # T < 2N -> T//2
+    assert effective_flash_segments(3, 8) == 1
+    assert effective_flash_segments(1, 8) == 1
+    assert effective_flash_segments(100, 0) == 1
+    assert effective_flash_segments(7, 3) == 3    # T >= 2N: untouched
+
+
+def test_score_helpers_agree():
+    import flash_viterbi_tpu as fvt
+
+    hmm, y = make_sparse_hmm(K=16, M=4, T=8, prob=0.5, seed=3)
+    lh = hmm.log()
+    # a valid path (an arbitrary one may cross a -inf transition)
+    path = np.asarray(fvt.decode(hmm, y, algorithm="vanilla",
+                                 warmup=False).path)
+    a = path_score_f64(hmm.A, hmm.B, hmm.Pi, y, path)
+    b = log_path_score_f64(lh.logA, lh.logB, lh.logPi, y, path)
+    # same quantity, prob-tables vs f32-truncated log-tables: close but
+    # not identical (the log tables round at fp32)
+    assert np.isfinite(a) and abs(a - b) < 1e-2 * max(1.0, abs(a))
+
+
+def test_score_tolerance_catches_one_bad_transition():
+    # a genuinely wrong transition costs O(-log p) ~ 11 at the framework's
+    # configs; the tolerance must stay below that at every scale it runs,
+    # including the config-5 score magnitude (~ -7e5)
+    for s in (-1e2, -1e4, -7e5):
+        assert score_tolerance_f64(65536, s) < 8.0
+
+
+def test_arbitrate_declines_small_segments_and_large_shapes():
+    hmm, y = make_sparse_hmm(K=16, M=4, T=8, prob=0.5, seed=3)
+    # n_eff <= 2: the mirror's single-binary-split fallback is a different
+    # segmentation — no faithful arbitration
+    assert arbitrate_flash_tie_flip(hmm.A, hmm.B, hmm.Pi, y,
+                                    np.zeros(8, np.int64), 2) is None
+    # cost gate
+    assert flash_mirror_cells(3965, 65536) > 4e10
+    assert arbitrate_flash_tie_flip(hmm.A, hmm.B, hmm.Pi, y,
+                                    np.zeros(8, np.int64), 4,
+                                    max_cells=1.0) is None
+
+
+def test_arbitrate_confirms_and_refutes():
+    import flash_viterbi_tpu as fvt
+
+    hmm, y = make_sparse_hmm(K=48, M=6, T=24, prob=0.3, seed=5)
+    r = fvt.decode(hmm, y, algorithm="flash", num_segments=4, warmup=False)
+    ok = arbitrate_flash_tie_flip(hmm.A, hmm.B, hmm.Pi, y,
+                                  np.asarray(r.path), 4)
+    assert ok is True
+    wrong = np.asarray(r.path).copy()
+    wrong[5] = (wrong[5] + 1) % 48
+    assert arbitrate_flash_tie_flip(hmm.A, hmm.B, hmm.Pi, y, wrong, 4) is False
