@@ -173,3 +173,27 @@ def test_sieve_bs_mp_mirror_on_hw(tpu_backend):
     r = fvt.decode(hmm, y, algorithm="sieve_bs_mp", beam_width=8,
                    pad_to=1, warmup=False)
     np.testing.assert_array_equal(np.asarray(r.path), want)
+
+
+def test_step_block_kernel_on_hw(tpu_backend):
+    """The rectangular tensor-parallel step kernel (maxplus_step_block,
+    the n_state>1 sharded path's workhorse) on real Mosaic: values, global
+    source indices, and lowest-index tie-breaking vs the XLA computation."""
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.ops.pallas.maxplus import (
+        maxplus_step_block,
+        step_block_supported,
+    )
+
+    Ks, Kd, N = 512, 256, 4  # a (K=512) -> two 256-column shards' worth
+    assert step_block_supported(Ks, Kd)
+    rng = np.random.RandomState(3)
+    logA_blk = rng.randn(Ks, Kd).astype(np.float32)
+    logA_blk[17, :] = logA_blk[3, :]  # duplicate source rows -> exact ties
+    delta = rng.randn(N, Ks).astype(np.float32)
+    delta[:, 17] = delta[:, 3]
+    val, ptr = maxplus_step_block(jnp.asarray(delta), jnp.asarray(logA_blk))
+    scores = delta[:, :, None] + logA_blk[None]
+    np.testing.assert_array_equal(np.asarray(val), scores.max(axis=1))
+    np.testing.assert_array_equal(np.asarray(ptr), scores.argmax(axis=1))
