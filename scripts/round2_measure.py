@@ -139,6 +139,44 @@ def main():
 
     step("sharded_111_K16384_T4096", sharded_vs_fused)
 
+    def batched_fused(batch):
+        """Aggregate throughput of the N-lane batched kernel at the
+        headline config (round-1: 449 G upd/s at batch 8 — push further)."""
+        import jax
+        import jax.numpy as jnp
+
+        from flash_viterbi_tpu.algorithms.fused import fused_decode_batch
+        from flash_viterbi_tpu.models.generate import make_sparse_hmm
+        from flash_viterbi_tpu.oracle import native as oracle
+
+        K, M, T = 3965, 50, 256
+        hmm, y0 = make_sparse_hmm(K=K, M=M, T=T, prob=0.112, seed=1)
+        lh = hmm.log().padded(128)
+        rng = np.random.RandomState(11)
+        ys_np = np.stack([np.asarray(y0, np.int32)]
+                         + [rng.randint(0, M, size=T).astype(np.int32)
+                            for _ in range(batch - 1)])
+        fn = jax.jit(fused_decode_batch)
+        args = (jnp.asarray(lh.logA), jnp.asarray(lh.logB),
+                jnp.asarray(lh.logPi), jnp.asarray(ys_np))
+        out = fn(*args)
+        int(np.asarray(out[:, :4]).sum())  # compile + real sync
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            out = fn(*args)
+            int(np.asarray(out[:, :4]).sum())
+            walls.append(time.time() - t0)
+        wall = min(walls)
+        want = oracle.vanilla(hmm.A, hmm.B, hmm.Pi, y0)
+        parity = bool((np.asarray(out[0])[:T] == want).all())
+        return {"batch": batch, "wall_s": round(wall, 4),
+                "agg_updates_per_s": batch * (T - 1.0) * K * K / wall,
+                "parity_seq0": parity}
+
+    step("batched_fused_b16", lambda: batched_fused(16))
+    step("batched_fused_b32", lambda: batched_fused(32))
+
     def fused_longT_backtrack():
         """Explain the round-1 57 G long-T anomaly: split the one-call fused
         decode at K=1024, T=65536 into forward scan vs backtrack, and time
