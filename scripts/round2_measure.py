@@ -61,6 +61,9 @@ def main():
     step("flash_lean", lambda: harness_row(
         algorithm="flash", K=3965, M=50, T=256, prob=0.112, seed=1,
         extra={"mode": "lean"}))
+    # the reference's second published density (src/run.py:8-25)
+    step("flash_prob169", lambda: harness_row(
+        algorithm="flash", K=3965, M=50, T=256, prob=0.169, seed=1))
     step("flash_bs_kernel", lambda: harness_row(
         algorithm="flash_bs", K=3965, M=50, T=256, prob=0.112, seed=1,
         beam_width=64, extra={"use_pallas": True}))
