@@ -36,9 +36,12 @@ _initialized = False
 
 
 # env vars that mark a multi-host TPU/pod runtime where
-# jax.distributed.initialize() can auto-detect its arguments
+# jax.distributed.initialize() can auto-detect its arguments.
+# Coordinator addresses only: TPU_WORKER_HOSTNAMES is NOT a reliable
+# marker — single-host rigs set it too (e.g. the axon relay's
+# sitecustomize sets TPU_WORKER_HOSTNAMES=localhost on one chip).
 _POD_ENV = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-            "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
+            "MEGASCALE_COORDINATOR_ADDRESS")
 
 
 def initialize(coordinator_address: str | None = None,
