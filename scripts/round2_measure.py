@@ -79,6 +79,12 @@ def main():
     step("sieve_bs_K512", lambda: harness_row(
         algorithm="sieve_bs", K=512, M=16, T=128, prob=0.05, seed=2,
         beam_width=32))
+    # the paper's own SIEVE-BS config (run.py beam=32): host-driven
+    # recursion at headline K — demonstrates the decoder's UX at scale
+    # (parity label is honest "unchecked" above the mirror cap)
+    step("sieve_bs_headline", lambda: harness_row(
+        algorithm="sieve_bs", K=3965, M=50, T=256, prob=0.112, seed=1,
+        beam_width=32))
     step("sieve_dynamic_K512", lambda: harness_row(
         algorithm="sieve", K=512, M=16, T=128, prob=0.05, seed=2))
     step("sieve_dag_K256", lambda: harness_row(
