@@ -122,7 +122,9 @@ def _parity(cfg, hmm, y, path, dec, tables):
                                       cfg.num_segments)
         if ok is None:  # mirror too costly / unfaithful at this shape
             return "tie-flip-unarbitrated"
-        return ok
+        if ok is False:
+            return False
+        return ok  # "mirror-exact" / "tie-equivalent" (both legitimate)
     if alg == "flash_bs":
         want = fw.flash_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw,
                            num_segments=cfg.num_segments)

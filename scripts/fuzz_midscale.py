@@ -74,21 +74,26 @@ def one_round(seed):
         r = fvt.decode(hmm, y, algorithm=alg, warmup=False)
         check(f"exact:{alg}", (np.asarray(r.path) == want).all(), ctx)
 
-    flash_paths = {}
+    # every flash variant resolves exact ties its own way (pointer-table
+    # backtrack vs the C's midpoint restarts) — each mode independently
+    # passes the tiered invariant: ==vanilla, or mirror-exact, or
+    # tie-equivalent (see oracle.validate.arbitrate_flash_tie_flip)
     for mode in ("pointer", "lean"):
         r = fvt.decode(hmm, y, algorithm="flash", num_segments=segs,
                        mode=mode, warmup=False)
-        flash_paths[mode] = np.asarray(r.path)
-    check("flash:lean==pointer",
-          (flash_paths["lean"] == flash_paths["pointer"]).all(), ctx)
-    if not (flash_paths["pointer"] == want).all():
+        path = np.asarray(r.path)
+        if (path == want).all():
+            continue
         flips_seen += 1
         verdict = arbitrate_flash_tie_flip(hmm.A, hmm.B, hmm.Pi, y,
-                                           flash_paths["pointer"], segs)
-        check("flash:arbitration",
-              verdict is True or
+                                           path, segs)
+        check(f"flash:{mode}:arbitration",
+              verdict in ("mirror-exact", "tie-equivalent") or
               (verdict is None and effective_flash_segments(T, segs) <= 2),
-              ctx)
+              f"{ctx} mode={mode} verdict={verdict}")
+    flash_paths = {"pointer": np.asarray(
+        fvt.decode(hmm, y, algorithm="flash", num_segments=segs,
+                   warmup=False).path)}
 
     # sharded pipelined vs same-segment single-chip flash
     if seed % 2 == 0:

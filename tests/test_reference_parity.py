@@ -86,9 +86,12 @@ def test_flash_tie_flip_c_parity(tmp_path):
     restarts each segment's DP from its anchor state, rounding differently
     from the global sweep.  At K=512, T=2048 (prob=0.112, seed=1) the
     deviation is 5 positions — and the compiled reference C FLASH
-    (src/FLASH_Viterbi_multithread.c) must deviate at the SAME positions,
-    bit-identically to both our decoder and the f32 mirror.  Pins the
-    tie-flip arbitration used by bench._parity and scripts/fuzz_hunt."""
+    (src/FLASH_Viterbi_multithread.c) deviates at the SAME positions,
+    bit-identically to both our pointer-mode decoder and the f32 mirror
+    ON THIS FIXTURE (the anchor-driven flips coincide; interior ties can
+    legitimately differ per variant — see DESIGN.md §1 and
+    test_validate.test_arbitrate_tie_equivalent_tier).  Pins the tie-flip
+    arbitration used by bench._parity and scripts/fuzz_hunt."""
     import flash_viterbi_tpu as fvt
 
     Kb, Mb, Tb, prob, seed = 512, 50, 2048, 0.112, 1

@@ -68,7 +68,31 @@ def test_arbitrate_confirms_and_refutes():
     r = fvt.decode(hmm, y, algorithm="flash", num_segments=4, warmup=False)
     ok = arbitrate_flash_tie_flip(hmm.A, hmm.B, hmm.Pi, y,
                                   np.asarray(r.path), 4)
-    assert ok is True
+    assert ok == "mirror-exact"
     wrong = np.asarray(r.path).copy()
     wrong[5] = (wrong[5] + 1) % 48
     assert arbitrate_flash_tie_flip(hmm.A, hmm.B, hmm.Pi, y, wrong, 4) is False
+
+
+def test_arbitrate_tie_equivalent_tier():
+    """The fixture where pointer mode legitimately differs from the C
+    recursion on interior exact ties (seed 91031): pointer must land in
+    the tie-equivalent tier, lean in mirror-exact."""
+    import flash_viterbi_tpu as fvt
+
+    rng = np.random.RandomState(91031)
+    K = int(rng.randint(128, 513))
+    M = int(rng.randint(8, 51))
+    T = int(rng.choice([128, 256, 512, 1024]))
+    prob = float(rng.uniform(0.05, 0.3))
+    segs = int(rng.choice([4, 6, 8]))
+    hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=91031)
+    p = np.asarray(fvt.decode(hmm, y, algorithm="flash", num_segments=segs,
+                              warmup=False).path)
+    l = np.asarray(fvt.decode(hmm, y, algorithm="flash", num_segments=segs,
+                              mode="lean", warmup=False).path)
+    assert (p != l).sum() == 2  # the interior tie flips exist
+    assert arbitrate_flash_tie_flip(hmm.A, hmm.B, hmm.Pi, y, p,
+                                    segs) == "tie-equivalent"
+    assert arbitrate_flash_tie_flip(hmm.A, hmm.B, hmm.Pi, y, l,
+                                    segs) == "mirror-exact"
