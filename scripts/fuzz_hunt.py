@@ -144,7 +144,7 @@ def one_round(seed):
         except Exception as e:
             mesh = None
             check("make_mesh", False, f"{ctx} mesh=({n_data},{n_seq},{n_state}) {e}")
-        if mesh is not None:
+        if mesh is not None and T >= 2 * n_seq:  # documented shape guard
             nb = n_data * int(rng.choice([1, 2]))
             segs_sh = max(n_seq, (segs // n_seq) * n_seq)  # documented req
             mb = int(rng.choice([1, nb // n_data]))  # must divide the shard
