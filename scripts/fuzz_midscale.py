@@ -95,6 +95,21 @@ def one_round(seed):
         fvt.decode(hmm, y, algorithm="flash", num_segments=segs,
                    warmup=False).path)}
 
+    # batched decode (N-lane kernel path on TPU, vmap on CPU) must be
+    # bit-equal to per-sequence decodes — including on tie-flip fixtures
+    if seed % 3 == 0:
+        from flash_viterbi_tpu.parallel.batch import decode_batch
+        rng2 = np.random.RandomState(seed + 1)
+        y2 = rng2.randint(0, M, size=T).astype(np.int32)
+        rb = decode_batch(hmm, np.stack([np.asarray(y, np.int32), y2]),
+                          algorithm="fused", warmup=False)
+        p1 = np.asarray(fvt.decode(hmm, y, algorithm="fused",
+                                   warmup=False).path)
+        p2 = np.asarray(fvt.decode(hmm, y2, algorithm="fused",
+                                   warmup=False).path)
+        check("batch==per-seq",
+              (rb.path[0] == p1).all() and (rb.path[1] == p2).all(), ctx)
+
     # sharded pipelined vs same-segment single-chip flash
     if seed % 2 == 0:
         from flash_viterbi_tpu.parallel.sharded import (
