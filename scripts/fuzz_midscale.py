@@ -95,6 +95,32 @@ def one_round(seed):
         fvt.decode(hmm, y, algorithm="flash", num_segments=segs,
                    warmup=False).path)}
 
+    # beam family at midscale K: decoder == its fp32 mirror bit-exactly
+    if seed % 4 == 0:
+        from flash_viterbi_tpu.oracle import framework as ofw
+        bw = int(rng.choice([16, 32, 64]))
+        r = fvt.decode(hmm, y, algorithm="flash_bs", beam_width=bw,
+                       num_segments=segs, warmup=False)
+        m = ofw.flash_bs(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw,
+                         num_segments=segs)
+        check("flash_bs-mirror",
+              (np.asarray(r.path) == np.asarray(m)[:T]).all(),
+              f"{ctx} bw={bw}")
+        r = fvt.decode(hmm, y, algorithm="beam", beam_width=bw,
+                       warmup=False)
+        m = ofw.beam(hmm.A, hmm.B, hmm.Pi, y, beam_width=bw)
+        check("beam-mirror",
+              (np.asarray(r.path) == np.asarray(m)[:T]).all(),
+              f"{ctx} bw={bw}")
+
+    # sieve_mp at midscale K (T capped: the level tree grows with T)
+    if seed % 5 == 0 and T <= 256:
+        from flash_viterbi_tpu.oracle.sieve import sieve_mp
+        r = fvt.decode(hmm, y, algorithm="sieve_mp", warmup=False)
+        m = sieve_mp(hmm.A, hmm.B, hmm.Pi, y, numerics="f32")
+        check("sieve_mp-oracle",
+              (np.asarray(r.path) == np.asarray(m)[:T]).all(), ctx)
+
     # batched decode (N-lane kernel path on TPU, vmap on CPU) must be
     # bit-equal to per-sequence decodes — including on tie-flip fixtures
     if seed % 3 == 0:
