@@ -18,6 +18,11 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   if timeout 180 python -c "import jax; d=jax.devices(); assert d and d[0].platform=='tpu', d; print(d)" \
       > /tmp/tpu_probe.out 2>&1; then
     echo "TPU up at attempt $i ($(date -u +%H:%M:%S)): $(cat /tmp/tpu_probe.out)"
+    # cheapest, highest-value artifact first: a brief tunnel window should
+    # at least produce the round's headline bench line
+    echo "== bench.py =="
+    timeout 3600 python bench.py > results/bench_r2.json 2> results/bench_r2.log
+    echo "bench exit: $?"
     echo "== round2_measure =="
     timeout 5400 python scripts/round2_measure.py > results/round2_measure.log 2>&1
     echo "measure exit: $?"
@@ -25,9 +30,6 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     FVT_TPU_TESTS=1 timeout 3600 python -m pytest tests/test_tpu_hw.py -q \
       > results/tpu_tier.log 2>&1
     echo "tpu tier exit: $?"
-    echo "== bench.py =="
-    timeout 3600 python bench.py > results/bench_r2.json 2> results/bench_r2.log
-    echo "bench exit: $?"
     echo "== config5 =="
     timeout 14400 python scripts/config5_run.py > results/config5.log 2>&1
     echo "config5 exit: $?"
