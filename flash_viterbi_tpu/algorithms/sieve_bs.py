@@ -94,9 +94,8 @@ def _bhop_counts(A_posF, hops: int):
     return anc.astype(jnp.float32), desc.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("B",))
-def _node_forward(logA, emitQ, A_posF, anc_cnt, desc_cnt, logPi,
-                  y_seg, n_valid, mask, tokens0, last_forced, B: int):
+def _node_forward_impl(logA, emitQ, A_posF, anc_cnt, desc_cnt, logPi,
+                       y_seg, n_valid, mask, tokens0, last_forced, B: int):
     """One recursion node's beam forward pass with dynamic-median tracking.
 
     ``y_seg`` may be padded past the true segment length ``n_valid`` (the
@@ -204,6 +203,31 @@ def _node_forward(logA, emitQ, A_posF, anc_cnt, desc_cnt, logPi,
     return x_a, x_b, n_left, tokens_right, last
 
 
+_node_forward = partial(jax.jit, static_argnames=("B",))(_node_forward_impl)
+
+# Fixed lane width for level-batched node forwards: all ready nodes of one
+# length bucket run as ceil(n/_LANES) vmapped dispatches (padded by
+# replaying lane 0) instead of one dispatch per node — through the axon
+# tunnel a synced dispatch has a ~25 ms floor, so at T=256 (~hundreds of
+# nodes) this is the difference between ~8 s and ~1 s of pure sync
+# overhead.  A FIXED width keeps the compile count at one program per
+# length bucket (a data-dependent width would recompile per group size —
+# remote compiles cost far more than the padded lanes' wasted FLOPs).
+_LANES = 8
+
+
+@partial(jax.jit, static_argnames=("B",))
+def _node_forward_batch(logA, emitQ, A_posF, anc_cnt, desc_cnt, logPi,
+                        y_segs, n_valids, masks, tokens0s, last_forceds,
+                        B: int):
+    """vmap of :func:`_node_forward_impl` over a lane of recursion nodes."""
+    return jax.vmap(
+        lambda ys, nv, mk, tk, lf: _node_forward_impl(
+            logA, emitQ, A_posF, anc_cnt, desc_cnt, logPi,
+            ys, nv, mk, tk, lf, B=B)
+    )(y_segs, n_valids, masks, tokens0s, last_forceds)
+
+
 def _host_bfs(adj: np.ndarray, src: int, hops: int) -> np.ndarray:
     """Visited-gated level BFS (traversal direction rows -> cols),
     <= ``hops`` edge hops; source excluded unless re-reached.  One
@@ -260,49 +284,119 @@ def sieve_bs_decode(logA, logB_raw, logPi, y, beam_width: int,
     # long-sequence configs
     anc_cnt, desc_cnt = _bhop_counts(A_posF, hops=min(max(b - 1, 0), K))
 
+    # Level-batched host recursion: the reference's control flow is
+    # inherently sequential down a root-to-leaf chain, but SIBLING
+    # subtrees are independent once their parent's split is known.  The
+    # scheduler therefore runs breadth-first: all ready nodes of a level,
+    # grouped by power-of-two length bucket, forward together in lanes of
+    # ``_LANES`` — identical per-node math (the same _node_forward_impl
+    # under vmap), only the dispatch schedule changes.  The in-order pair
+    # list (the reference's self.path append order) is reconstructed from
+    # the recursion tree afterwards.
+    nodes: list[dict] = []
+
+    def new_node(mask_np, y_seg, last, tokens_np):
+        nodes.append({"mask": mask_np, "y": y_seg, "last": last,
+                      "tokens": tokens_np, "kind": None, "pair": None,
+                      "left": None, "right": None})
+        return len(nodes) - 1
+
+    root = new_node(np.asarray(real, bool), y_np, None, None)
+    level = [root]
+    while level:
+        ready = []
+        for nid in level:
+            nd = nodes[nid]
+            L = len(nd["y"])
+            if nd["mask"].sum() <= 1:
+                nd["kind"] = "skip"
+            elif L == 1:
+                # single-frame node: the oracle's forward loop never runs,
+                # no median is recorded — sentinel pair, no recursion
+                nd["kind"] = "sentinel"
+            else:
+                nd["kind"] = "forward"
+                ready.append(nid)
+
+        # group by compiled length bucket (next power of two: O(log T)
+        # distinct programs, not one per data-dependent split length)
+        buckets: dict[int, list[int]] = {}
+        for nid in ready:
+            L = len(nodes[nid]["y"])
+            Lp = 1 << max(1, (L - 1)).bit_length() if L > 2 else L
+            buckets.setdefault(Lp, []).append(nid)
+
+        nxt: list[int] = []
+        for Lp, grp in sorted(buckets.items()):
+            for g0 in range(0, len(grp), _LANES):
+                chunk = grp[g0:g0 + _LANES]
+                n = len(chunk)
+                ys = np.zeros((_LANES, Lp), np.int32)
+                ns = np.zeros((_LANES,), np.int32)
+                ms = np.zeros((_LANES, K), np.float32)
+                tk = np.zeros((_LANES, K), np.float32)
+                lf = np.full((_LANES,), -1, np.int32)
+                for i, nid in enumerate(chunk):
+                    nd = nodes[nid]
+                    L = len(nd["y"])
+                    ys[i, :L] = nd["y"]
+                    ns[i] = L
+                    ms[i] = nd["mask"]
+                    tk[i] = nd["mask"] if nd["tokens"] is None else nd["tokens"]
+                    lf[i] = -1 if nd["last"] is None else nd["last"]
+                for i in range(n, _LANES):  # pad: replay lane 0 (discarded)
+                    ys[i], ns[i], ms[i], tk[i], lf[i] = (ys[0], ns[0], ms[0],
+                                                         tk[0], lf[0])
+                xa, xb, nl, tr, lr = _node_forward_batch(
+                    logA, emitQ, A_posF, anc_cnt, desc_cnt, logPi,
+                    jnp.asarray(ys), jnp.asarray(ns), jnp.asarray(ms),
+                    jnp.asarray(tk), jnp.asarray(lf), B=B)
+                xa = np.asarray(xa); xb = np.asarray(xb)
+                nl = np.asarray(nl); lr = np.asarray(lr)
+                tr = np.asarray(tr) > 0
+                for i, nid in enumerate(chunk):
+                    nd = nodes[nid]
+                    L = len(nd["y"])
+                    x_a, x_b = int(xa[i]), int(xb[i])
+                    n_left, last_r = int(nl[i]), int(lr[i])
+                    nd["pair"] = (x_a, x_b)
+                    if n_left > 1 and x_a >= 0:
+                        lm = _host_reach(A_pos_np, x_a, n_left, out=False)
+                        lm = lm.copy()
+                        lm[x_a] = True
+                        nd["left"] = new_node(lm, nd["y"][:n_left], x_a,
+                                              nd["tokens"])
+                        nxt.append(nd["left"])
+                    n_right = L - n_left
+                    if n_right > 1 and x_b >= 0:
+                        rm = _host_reach(A_pos_np, x_b, n_right, out=True)
+                        rm = rm.copy()
+                        rm[x_b] = True
+                        nd["right"] = new_node(rm, nd["y"][-n_right:],
+                                               last_r, tr[i])
+                        nxt.append(nd["right"])
+        level = nxt
+
+    # in-order flatten == the reference's append order (left subtree,
+    # own pair, right subtree); iterative to dodge recursion limits
     path: list[tuple[int, int]] = []
-
-    def rec(mask_np: np.ndarray, y_seg: np.ndarray, last: int | None,
-            tokens_np: np.ndarray | None):
-        L = len(y_seg)
-        if mask_np.sum() <= 1:
-            return
-        if L == 1:
-            # single-frame node: the oracle's forward loop never runs, no
-            # median is recorded — sentinel pair, nothing to recurse into
+    stack: list[tuple[int, bool]] = [(root, False)]
+    while stack:
+        nid, emit = stack.pop()
+        nd = nodes[nid]
+        if nd["kind"] == "skip":
+            continue
+        if nd["kind"] == "sentinel":
             path.append((-1, -1))
-            return
-        tokens0 = mask_np if tokens_np is None else tokens_np
-        # bucket the compiled length to the next power of two: O(log T)
-        # distinct programs instead of one per data-dependent split length
-        Lp = 1 << max(1, (L - 1)).bit_length() if L > 2 else L
-        y_pad = np.zeros((Lp,), np.int32)
-        y_pad[:L] = y_seg
-        x_a, x_b, n_left, tokens_right, last_r = _node_forward(
-            logA, emitQ, A_posF, anc_cnt, desc_cnt, logPi,
-            jnp.asarray(y_pad), jnp.asarray(L, jnp.int32),
-            jnp.asarray(mask_np, jnp.float32),
-            jnp.asarray(tokens0, jnp.float32),
-            jnp.asarray(-1 if last is None else last, jnp.int32), B=B)
-        x_a, x_b, n_left, last_r = (int(x_a), int(x_b), int(n_left), int(last_r))
-
-        if n_left > 1 and x_a >= 0:
-            lm = _host_reach(A_pos_np, x_a, n_left, out=False)
-            lm = lm.copy()
-            lm[x_a] = True
-            rec(lm, y_seg[:n_left], x_a, tokens_np)
-
-        path.append((x_a, x_b))
-
-        n_right = L - n_left
-        if n_right > 1 and x_b >= 0:
-            rm = _host_reach(A_pos_np, x_b, n_right, out=True)
-            rm = rm.copy()
-            rm[x_b] = True
-            rec(rm, y_seg[-n_right:], last_r,
-                np.asarray(tokens_right) > 0)
-
-    rec(np.asarray(real, bool), y_np, None, None)
+            continue
+        if emit:
+            path.append(nd["pair"])
+            continue
+        if nd["right"] is not None:
+            stack.append((nd["right"], False))
+        stack.append((nid, True))
+        if nd["left"] is not None:
+            stack.append((nd["left"], False))
     return path
 
 
