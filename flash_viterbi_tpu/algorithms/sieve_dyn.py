@@ -88,9 +88,8 @@ def _dag_counts(A_posF, mask, max_hops: int, n_hops):
     return anc.astype(jnp.float32), desc.astype(jnp.float32)
 
 
-@jax.jit
-def _node_forward_dyn(logA, logB, anc_cnt, desc_cnt, y_seg, n_valid, mask,
-                      pi_vec, last_forced):
+def _node_forward_dyn_impl(logA, logB, anc_cnt, desc_cnt, y_seg, n_valid,
+                           mask, pi_vec, last_forced):
     """One recursion node: masked forward pass + dynamic-median carry.
 
     Mirrors ``oracle.sieve.sieve_dynamic``'s inner loop (Viterbi.py:570-636)
@@ -149,6 +148,40 @@ def _node_forward_dyn(logA, logB, anc_cnt, desc_cnt, y_seg, n_valid, mask,
     return mx[last], my[last], mn[last], last
 
 
+_node_forward_dyn = jax.jit(_node_forward_dyn_impl)
+
+# level-batched dispatch (same scheme as algorithms.sieve_bs._LANES): all
+# ready nodes of a length bucket forward in fixed-width vmapped lanes —
+# ~25 ms tunnel sync floor per dispatch makes one-call-per-node the
+# dominant cost of host-driven recursion at T>=128
+_LANES = 8
+
+
+@jax.jit
+def _node_forward_dyn_lanes(logA, logB, anc_g, desc_g, y_segs, n_valids,
+                            masks, pi_vecs, last_forceds):
+    """Lanes share the global b-hop counts (SIEVE)."""
+    return jax.vmap(
+        lambda ys, nv, mk, pv, lf: _node_forward_dyn_impl(
+            logA, logB, anc_g, desc_g, ys, nv, mk, pv, lf)
+    )(y_segs, n_valids, masks, pi_vecs, last_forceds)
+
+
+@partial(jax.jit, static_argnames=("max_hops",))
+def _node_forward_dag_lanes(logA, logB, A_posF, y_segs, n_valids, masks,
+                            pi_vecs, last_forceds, max_hops: int):
+    """Each lane recomputes its subgraph-restricted counts (SIEVE-DAG)."""
+    K = logA.shape[0]
+
+    def one(ys, nv, mk, pv, lf):
+        anc, desc = _dag_counts(A_posF, mk, max_hops=max_hops,
+                                n_hops=jnp.minimum(nv - 1, K))
+        return _node_forward_dyn_impl(logA, logB, anc, desc, ys, nv, mk,
+                                      pv, lf)
+
+    return jax.vmap(one)(y_segs, n_valids, masks, pi_vecs, last_forceds)
+
+
 def sieve_dynamic_decode(logA, logB, logPi, y, b_hops: int | None = None,
                          dag: bool = False) -> list[tuple[int, int]]:
     """Full SIEVE (dynamic median) / SIEVE-DAG decode; returns the in-order
@@ -173,60 +206,116 @@ def sieve_dynamic_decode(logA, logB, logPi, y, b_hops: int | None = None,
              if b_hops is None else int(b_hops))
         anc_g, desc_g = _bhop_counts(A_posF, hops=b)
 
-    path: list[tuple[int, int]] = []
-    state = {"initial_state": None}  # the original's module-level mutable
+    # Level-batched host recursion (same scheme as algorithms.sieve_bs):
+    # sibling subtrees are independent once the parent's split is known.
+    # The original's module-level ``initial_state`` mutable reduces to a
+    # static edge rule — at forward time a node sees the x_b of its
+    # nearest ancestor reached by one right edge then only left edges
+    # (right children get the parent's x_b; left children inherit the
+    # parent's own incoming value, since the parent assigns only before
+    # its right recursion) — so each child's prior is known at enqueue
+    # time and whole levels can forward together.
     iota = np.arange(K)
+    nodes: list[dict] = []
 
-    def rec(mask_np: np.ndarray, y_seg: np.ndarray, last: int | None):
-        k_sub = int(mask_np.sum())
-        L = len(y_seg)
-        if k_sub <= 1:
-            return
-        if dag:
-            hop_cap = min(1 << max(1, (L - 1)).bit_length(), K)
-            anc_l, desc_l = _dag_counts(A_posF, jnp.asarray(mask_np, jnp.float32),
-                                        max_hops=hop_cap,
-                                        n_hops=jnp.asarray(min(L - 1, K),
-                                                           jnp.int32))
-        else:
-            anc_l, desc_l = anc_g, desc_g
-        init = state["initial_state"]
-        if init is None:
-            pi_vec = np.full((K,), np.float32(np.log(1.0 / k_sub)), np.float32)
-        else:
-            pi_vec = np.where(iota == init, np.float32(0.0),
-                              np.float32(-np.inf)).astype(np.float32)
-        # bucket the compiled length to the next power of two: O(log T)
-        # distinct programs instead of one per data-dependent split length
-        Lp = 1 << max(1, (L - 1)).bit_length() if L > 2 else L
-        y_pad = np.zeros((Lp,), np.int32)
-        y_pad[:L] = y_seg
-        x_a, x_b, n_left, last_r = _node_forward_dyn(
-            logA_d, logB_d, anc_l, desc_l,
-            jnp.asarray(y_pad), jnp.asarray(L, jnp.int32),
-            jnp.asarray(mask_np, jnp.float32),
-            jnp.asarray(pi_vec), jnp.asarray(-1 if last is None else last,
-                                             jnp.int32))
-        x_a, x_b, n_left = int(x_a), int(x_b), int(n_left)
-        if x_a == -1:
-            return
+    def new_node(mask_np, y_seg, last, init):
+        nodes.append({"mask": mask_np, "y": y_seg, "last": last,
+                      "init": init, "kind": None, "pair": None,
+                      "left": None, "right": None})
+        return len(nodes) - 1
 
-        adj_sub = A_pos_np & np.outer(mask_np, mask_np)
-        if n_left > 1:
-            lm = _host_bfs(adj_sub.T, x_a, n_left - 1).copy()
-            lm[x_a] = True
-            rec(lm, y_seg[:n_left], x_a)
+    root = new_node(np.asarray(real, bool), y_np, None, None)
+    level = [root]
+    while level:
+        buckets: dict[int, list[int]] = {}
+        for nid in level:
+            nd = nodes[nid]
+            if nd["mask"].sum() <= 1:
+                nd["kind"] = "skip"
+                continue
+            nd["kind"] = "forward"
+            L = len(nd["y"])
+            Lp = 1 << max(1, (L - 1)).bit_length() if L > 2 else L
+            buckets.setdefault(Lp, []).append(nid)
 
-        path.append((x_a, x_b))
+        nxt: list[int] = []
+        for Lp, grp in sorted(buckets.items()):
+            for g0 in range(0, len(grp), _LANES):
+                chunk = grp[g0:g0 + _LANES]
+                n = len(chunk)
+                ys = np.zeros((_LANES, Lp), np.int32)
+                ns = np.zeros((_LANES,), np.int32)
+                ms = np.zeros((_LANES, K), np.float32)
+                pis = np.zeros((_LANES, K), np.float32)
+                lf = np.full((_LANES,), -1, np.int32)
+                for i, nid in enumerate(chunk):
+                    nd = nodes[nid]
+                    L = len(nd["y"])
+                    ys[i, :L] = nd["y"]
+                    ns[i] = L
+                    ms[i] = nd["mask"]
+                    if nd["init"] is None:
+                        k_sub = int(nd["mask"].sum())
+                        pis[i] = np.float32(np.log(1.0 / k_sub))
+                    else:
+                        pis[i] = np.where(iota == nd["init"], np.float32(0.0),
+                                          np.float32(-np.inf))
+                    lf[i] = -1 if nd["last"] is None else nd["last"]
+                for i in range(n, _LANES):  # pad: replay lane 0 (discarded)
+                    ys[i], ns[i], ms[i], pis[i], lf[i] = (ys[0], ns[0], ms[0],
+                                                          pis[0], lf[0])
+                if dag:
+                    xa, xb, nl, lr = _node_forward_dag_lanes(
+                        logA_d, logB_d, A_posF, jnp.asarray(ys),
+                        jnp.asarray(ns), jnp.asarray(ms), jnp.asarray(pis),
+                        jnp.asarray(lf), max_hops=min(Lp, K))
+                else:
+                    xa, xb, nl, lr = _node_forward_dyn_lanes(
+                        logA_d, logB_d, anc_g, desc_g, jnp.asarray(ys),
+                        jnp.asarray(ns), jnp.asarray(ms), jnp.asarray(pis),
+                        jnp.asarray(lf))
+                xa = np.asarray(xa); xb = np.asarray(xb)
+                nl = np.asarray(nl); lr = np.asarray(lr)
+                for i, nid in enumerate(chunk):
+                    nd = nodes[nid]
+                    L = len(nd["y"])
+                    x_a, x_b, n_left = int(xa[i]), int(xb[i]), int(nl[i])
+                    if x_a == -1:  # median never set: the oracle's early return
+                        nd["kind"] = "skip"
+                        continue
+                    nd["pair"] = (x_a, x_b)
+                    adj_sub = A_pos_np & np.outer(nd["mask"], nd["mask"])
+                    if n_left > 1:
+                        lm = _host_bfs(adj_sub.T, x_a, n_left - 1).copy()
+                        lm[x_a] = True
+                        nd["left"] = new_node(lm, nd["y"][:n_left], x_a,
+                                              nd["init"])
+                        nxt.append(nd["left"])
+                    n_right = L - n_left
+                    if n_right > 1:
+                        rm = _host_bfs(adj_sub, x_b, n_right - 1).copy()
+                        rm[x_b] = True
+                        nd["right"] = new_node(rm, nd["y"][-n_right:],
+                                               None, x_b)
+                        nxt.append(nd["right"])
+        level = nxt
 
-        n_right = L - n_left
-        if n_right > 1:
-            rm = _host_bfs(adj_sub, x_b, n_right - 1).copy()
-            rm[x_b] = True
-            state["initial_state"] = x_b
-            rec(rm, y_seg[-n_right:], None)
-
-    rec(np.asarray(real, bool), y_np, None)
+    # in-order flatten == the original's append order
+    path: list[tuple[int, int]] = []
+    stack: list[tuple[int, bool]] = [(root, False)]
+    while stack:
+        nid, emit = stack.pop()
+        nd = nodes[nid]
+        if nd["kind"] == "skip":
+            continue
+        if emit:
+            path.append(nd["pair"])
+            continue
+        if nd["right"] is not None:
+            stack.append((nd["right"], False))
+        stack.append((nid, True))
+        if nd["left"] is not None:
+            stack.append((nd["left"], False))
     return path
 
 
