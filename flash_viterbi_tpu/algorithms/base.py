@@ -59,12 +59,16 @@ class Decoder:
     """
 
     def __init__(self, name: str, fn: Callable, static: dict, memory_fn: Callable,
-                 jittable: bool = True):
+                 jittable: bool = True, batch_fn: Callable | None = None):
         self.name = name
         self._fn = fn
         self.static = static
         self._memory_fn = memory_fn
         self.jittable = jittable
+        # optional native batch decode (logA, logB, logPi, ys) -> (Bs, T):
+        # host-driven decoders set this to share one lane scheduler across
+        # the whole batch instead of decoding sequences one at a time
+        self.batch_fn = batch_fn
 
     def __call__(self, logA, logB, logPi, y) -> jax.Array:
         return self._fn(logA, logB, logPi, y)

@@ -263,10 +263,26 @@ def sieve_bs_decode(logA, logB_raw, logPi, y, beam_width: int,
     control flow is inherently sequential here); every forward pass and the
     BFS-count preprocessing run on device.
     """
+    return sieve_bs_decode_many(logA, logB_raw, logPi,
+                                np.asarray(y)[None], beam_width,
+                                b_hops=b_hops)[0]
+
+
+def sieve_bs_decode_many(logA, logB_raw, logPi, ys, beam_width: int,
+                         b_hops: int | None = None
+                         ) -> list[list[tuple[int, int]]]:
+    """SIEVE-BS over a batch of sequences with ONE shared lane scheduler.
+
+    Every sequence's recursion tree feeds the same level queue, so the
+    8-lane batched forwards fill with nodes from across the batch — a
+    batch of S sequences keeps the lanes ~S/(S+lanes) full even when each
+    individual tree is a serial chain.  Per-node math and per-sequence
+    results are identical to sequence-at-a-time decoding.
+    """
+    ys_np = np.asarray(ys)
+    S, T = ys_np.shape
     K = int(logA.shape[0])
-    T = int(y.shape[0])
     B = min(int(beam_width), K)
-    y_np = np.asarray(y)
 
     A_posF = (logA > NEG).astype(jnp.float32)
     A_pos_np = np.asarray(A_posF) > 0
@@ -301,8 +317,9 @@ def sieve_bs_decode(logA, logB_raw, logPi, y, beam_width: int,
                       "left": None, "right": None})
         return len(nodes) - 1
 
-    root = new_node(np.asarray(real, bool), y_np, None, None)
-    level = [root]
+    roots = [new_node(np.asarray(real, bool), ys_np[s], None, None)
+             for s in range(S)]
+    level = list(roots)
     while level:
         ready = []
         for nid in level:
@@ -379,25 +396,28 @@ def sieve_bs_decode(logA, logB_raw, logPi, y, beam_width: int,
 
     # in-order flatten == the reference's append order (left subtree,
     # own pair, right subtree); iterative to dodge recursion limits
-    path: list[tuple[int, int]] = []
-    stack: list[tuple[int, bool]] = [(root, False)]
-    while stack:
-        nid, emit = stack.pop()
-        nd = nodes[nid]
-        if nd["kind"] == "skip":
-            continue
-        if nd["kind"] == "sentinel":
-            path.append((-1, -1))
-            continue
-        if emit:
-            path.append(nd["pair"])
-            continue
-        if nd["right"] is not None:
-            stack.append((nd["right"], False))
-        stack.append((nid, True))
-        if nd["left"] is not None:
-            stack.append((nd["left"], False))
-    return path
+    def flatten(root: int) -> list[tuple[int, int]]:
+        path: list[tuple[int, int]] = []
+        stack: list[tuple[int, bool]] = [(root, False)]
+        while stack:
+            nid, emit = stack.pop()
+            nd = nodes[nid]
+            if nd["kind"] == "skip":
+                continue
+            if nd["kind"] == "sentinel":
+                path.append((-1, -1))
+                continue
+            if emit:
+                path.append(nd["pair"])
+                continue
+            if nd["right"] is not None:
+                stack.append((nd["right"], False))
+            stack.append((nid, True))
+            if nd["left"] is not None:
+                stack.append((nd["left"], False))
+        return path
+
+    return [flatten(r) for r in roots]
 
 
 def _memory(K: int, T: int, beam_width: int = 64, **_) -> int:
@@ -417,6 +437,12 @@ def _build(beam_width: int = 64, b_hops: int | None = None, **static) -> Decoder
         # the family's unresolved-position convention)
         return jnp.asarray(_flatten(pairs, int(y.shape[0])))
 
+    def batch_fn(logA, logB, logPi, ys):
+        T = int(ys.shape[1])
+        many = sieve_bs_decode_many(logA, logB, logPi, ys,
+                                    beam_width=beam_width, b_hops=b_hops)
+        return jnp.stack([jnp.asarray(_flatten(p, T)) for p in many])
+
     return Decoder("sieve_bs", fn,
                    {"beam_width": beam_width, "b_hops": b_hops, **static},
-                   _memory, jittable=False)
+                   _memory, jittable=False, batch_fn=batch_fn)

@@ -188,10 +188,24 @@ def sieve_dynamic_decode(logA, logB, logPi, y, b_hops: int | None = None,
     median-pair list (matches ``oracle.sieve.sieve_dynamic`` /
     ``oracle.sieve.sieve_dag`` off exact fp ties).
     """
+    return sieve_dynamic_decode_many(logA, logB, logPi, np.asarray(y)[None],
+                                     b_hops=b_hops, dag=dag)[0]
+
+
+def sieve_dynamic_decode_many(logA, logB, logPi, ys,
+                              b_hops: int | None = None,
+                              dag: bool = False
+                              ) -> list[list[tuple[int, int]]]:
+    """SIEVE / SIEVE-DAG over a batch of sequences with one shared lane
+    scheduler — all trees feed the same level queue, so the 8-lane
+    dispatches fill across the batch even though each dynamic-median tree
+    is typically a serial chain (no closeness tie-break pulls splits to
+    the middle).  Per-sequence results identical to one-at-a-time."""
     logA_np = np.asarray(logA)
     logB_np = np.asarray(logB)
     K = logA_np.shape[0]
-    y_np = np.asarray(y)
+    ys_np = np.asarray(ys)
+    S, _T = ys_np.shape
 
     # logical (non-padding) states: padded states are all -inf everywhere
     real = (np.isfinite(logA_np).any(axis=1) | np.isfinite(logB_np).any(axis=1)
@@ -224,8 +238,9 @@ def sieve_dynamic_decode(logA, logB, logPi, y, b_hops: int | None = None,
                       "left": None, "right": None})
         return len(nodes) - 1
 
-    root = new_node(np.asarray(real, bool), y_np, None, None)
-    level = [root]
+    roots = [new_node(np.asarray(real, bool), ys_np[s], None, None)
+             for s in range(S)]
+    level = list(roots)
     while level:
         buckets: dict[int, list[int]] = {}
         for nid in level:
@@ -301,22 +316,25 @@ def sieve_dynamic_decode(logA, logB, logPi, y, b_hops: int | None = None,
         level = nxt
 
     # in-order flatten == the original's append order
-    path: list[tuple[int, int]] = []
-    stack: list[tuple[int, bool]] = [(root, False)]
-    while stack:
-        nid, emit = stack.pop()
-        nd = nodes[nid]
-        if nd["kind"] == "skip":
-            continue
-        if emit:
-            path.append(nd["pair"])
-            continue
-        if nd["right"] is not None:
-            stack.append((nd["right"], False))
-        stack.append((nid, True))
-        if nd["left"] is not None:
-            stack.append((nd["left"], False))
-    return path
+    def flatten_tree(root: int) -> list[tuple[int, int]]:
+        path: list[tuple[int, int]] = []
+        stack: list[tuple[int, bool]] = [(root, False)]
+        while stack:
+            nid, emit = stack.pop()
+            nd = nodes[nid]
+            if nd["kind"] == "skip":
+                continue
+            if emit:
+                path.append(nd["pair"])
+                continue
+            if nd["right"] is not None:
+                stack.append((nd["right"], False))
+            stack.append((nid, True))
+            if nd["left"] is not None:
+                stack.append((nd["left"], False))
+        return path
+
+    return [flatten_tree(r) for r in roots]
 
 
 def _flatten(pairs: list[tuple[int, int]], T: int) -> np.ndarray:
@@ -341,8 +359,13 @@ def _build(b_hops: int | None = None, **static) -> Decoder:
         pairs = sieve_dynamic_decode(logA, logB, logPi, y, b_hops=b_hops)
         return jnp.asarray(_flatten(pairs, int(y.shape[0])))
 
+    def batch_fn(logA, logB, logPi, ys):
+        T = int(ys.shape[1])
+        many = sieve_dynamic_decode_many(logA, logB, logPi, ys, b_hops=b_hops)
+        return jnp.stack([jnp.asarray(_flatten(p, T)) for p in many])
+
     return Decoder("sieve", fn, {"b_hops": b_hops, **static}, _memory,
-                   jittable=False)
+                   jittable=False, batch_fn=batch_fn)
 
 
 @register("sieve_dag")
@@ -351,4 +374,10 @@ def _build_dag(**static) -> Decoder:
         pairs = sieve_dynamic_decode(logA, logB, logPi, y, dag=True)
         return jnp.asarray(_flatten(pairs, int(y.shape[0])))
 
-    return Decoder("sieve_dag", fn, static, _memory, jittable=False)
+    def batch_fn(logA, logB, logPi, ys):
+        T = int(ys.shape[1])
+        many = sieve_dynamic_decode_many(logA, logB, logPi, ys, dag=True)
+        return jnp.stack([jnp.asarray(_flatten(p, T)) for p in many])
+
+    return Decoder("sieve_dag", fn, static, _memory, jittable=False,
+                   batch_fn=batch_fn)

@@ -82,9 +82,15 @@ def decode_batch(
 
             def run():
                 return fn(logA, logB, logPi, yd)
+        elif dec.batch_fn is not None:
+            # host-driven decoders with a native batch path: one shared
+            # lane scheduler across the whole batch (nodes from every
+            # sequence's recursion tree fill the vmapped dispatch lanes)
+            def run():
+                return dec.batch_fn(logA, logB, logPi, yd)
         else:
-            # host-driven decoders (sieve_bs family) read split points back
-            # per node; vmap can't trace them — loop sequences eagerly
+            # host-driven decoders read split points back per node; vmap
+            # can't trace them — loop sequences eagerly
             def run():
                 return jnp.stack([dec(logA, logB, logPi, yd[b])
                                   for b in range(Bs)])
