@@ -87,6 +87,37 @@ def main():
         beam_width=32))
     step("sieve_dynamic_K512", lambda: harness_row(
         algorithm="sieve", K=512, M=16, T=128, prob=0.05, seed=2))
+
+    def sieve_batch_lanes():
+        """Batch-aware lane scheduler vs per-sequence decode on the real
+        tunnel (host-driven recursion; the ~25 ms dispatch floor is the
+        cost being amortized — SIEVE's chain trees only parallelize
+        across the batch)."""
+        import time as _t
+
+        from flash_viterbi_tpu import decode
+        from flash_viterbi_tpu.models.generate import make_sparse_hmm
+        from flash_viterbi_tpu.parallel.batch import decode_batch
+
+        K, M, T, BATCH = 512, 16, 128, 8
+        hmm, y0 = make_sparse_hmm(K=K, M=M, T=T, prob=0.05, seed=2)
+        rng = np.random.RandomState(3)
+        ys = np.stack([np.asarray(y0, np.int32)]
+                      + [rng.randint(0, M, T).astype(np.int32)
+                         for _ in range(BATCH - 1)])
+        rb = decode_batch(hmm, ys, algorithm="sieve", warmup=True)
+        t0 = _t.time()
+        per = [decode(hmm, ys[b], algorithm="sieve", warmup=False).path
+               for b in range(BATCH)]
+        per_wall = _t.time() - t0
+        match = all((np.asarray(rb.path[b]) == np.asarray(per[b])).all()
+                    for b in range(BATCH))
+        return {"batch": BATCH, "batched_wall_s": round(rb.time_s, 3),
+                "per_seq_wall_s": round(per_wall, 3),
+                "speedup": round(per_wall / max(rb.time_s, 1e-9), 2),
+                "bit_equal": bool(match)}
+
+    step("sieve_batch_lanes_K512", sieve_batch_lanes)
     step("sieve_dag_K256", lambda: harness_row(
         algorithm="sieve_dag", K=256, M=16, T=64, prob=0.9, seed=2, dag=True))
 
