@@ -85,20 +85,36 @@ def main() -> None:
     # in the remote-compile payload and overflow its size limit at large K);
     # the chain length is a traced fori_loop bound so all k share ONE
     # compiled program (remote compiles cost minutes)
-    @jax.jit
-    def chain(logA, logB, logPi, yd, k):
-        def body(_, carry):
-            _p, logPi = carry
-            p = flash_decode(logA, logB, logPi, yd, num_segments=8)
-            # data dependency that provably cannot change logPi's bits
-            logPi = logPi + p[0].astype(jnp.float32) * jnp.float32(1e-30)
-            return (p.astype(jnp.int32), logPi)
+    def make_chain(use_pallas):
+        @jax.jit
+        def chain(logA, logB, logPi, yd, k):
+            def body(_, carry):
+                _p, logPi = carry
+                p = flash_decode(logA, logB, logPi, yd, num_segments=8,
+                                 use_pallas=use_pallas)
+                # data dependency that provably cannot change logPi's bits
+                logPi = logPi + p[0].astype(jnp.float32) * jnp.float32(1e-30)
+                return (p.astype(jnp.int32), logPi)
 
-        p0 = jnp.zeros((yd.shape[0],), jnp.int32)
-        p, _ = jax.lax.fori_loop(0, k, body, (p0, logPi))
-        return p
+            p0 = jnp.zeros((yd.shape[0],), jnp.int32)
+            p, _ = jax.lax.fori_loop(0, k, body, (p0, logPi))
+            return p
 
-    path = np.asarray(chain(logA, logB, logPi0, yd, K1))  # compile + sample
+        return chain
+
+    # containment (round-2 lesson): one broken kernel must never zero the
+    # round's headline artifact — on ANY failure of the Pallas path, retry
+    # on the proven XLA path and mark the row
+    pallas_fallback = False
+    chain = make_chain("auto")
+    try:
+        path = np.asarray(chain(logA, logB, logPi0, yd, K1))  # compile+sample
+    except Exception as e:  # noqa: BLE001 — lowering/trace errors included
+        print(f"# PALLAS PATH FAILED, retrying XLA: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        pallas_fallback = True
+        chain = make_chain(False)
+        path = np.asarray(chain(logA, logB, logPi0, yd, K1))
     int(chain(logA, logB, logPi0, yd, K2)[0])  # cached (same program)
 
     def run(k, reps=3):
@@ -136,6 +152,8 @@ def main() -> None:
     }
     if tpu_unreachable:
         row["tpu_unreachable"] = True  # CPU fallback figure, not the chip's
+    if pallas_fallback:
+        row["pallas_fallback"] = True  # XLA-path figure; kernel path broken
     print(json.dumps(row))
 
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import maxplus as mp
-from ..ops.pallas.backtrack import backtrack_pallas
+from ..ops.pallas.backtrack import backtrack_pallas, backtrack_pallas_batched
 from ..ops.pallas.maxplus import (forward_scan_pallas, kernel_supported,
                                   maxplus_scan)
 from .base import Decoder, register
@@ -82,8 +82,8 @@ def fused_decode_batch(logA, logB, logPi, ys, use_pallas: bool | str = "auto",
         interpret = jax.default_backend() != "tpu"
         dfin, ptrs = maxplus_scan(logA, emits[1:], delta0, interpret=interpret)
         last = jnp.argmax(dfin, axis=1).astype(jnp.int32)  # (Bs,)
-        walk = functools.partial(backtrack_pallas, interpret=interpret)
-        return jax.vmap(walk, in_axes=(1, 0))(ptrs, last)  # (Bs, T)
+        # one kernel walks all Bs lanes (vmap-of-pallas_call is Mosaic-illegal)
+        return backtrack_pallas_batched(ptrs, last, interpret=interpret)
 
     def step(d, e):
         scores = d[:, :, None] + logA[None, :, :]

@@ -31,7 +31,7 @@ import numpy as np
 CSV_FIELDS = [
     "timestamp", "K_STATE", "T_STATE", "obserRouteLEN", "prob",
     "MAX_THREADS", "BeamSearchWidth", "time", "memory",
-    "algorithm", "device", "updates_per_s", "parity",
+    "algorithm", "device", "updates_per_s", "parity", "pallas_fallback",
 ]
 
 
@@ -170,6 +170,26 @@ def _parity(cfg, hmm, y, path, dec, tables):
 
 
 def run_one(cfg: RunConfig) -> dict:
+    """Measure one configuration; never lets a kernel bug zero the row.
+
+    If the (default) Pallas path fails anywhere — trace, lowering, or
+    execution — the row is retried on the pure-XLA path with
+    ``pallas_fallback=True`` recorded, so a sweep always yields data
+    (round-2 lesson: one Mosaic rejection cost the whole round's numbers).
+    """
+    try:
+        return _run_one(cfg, fallback=False)
+    except Exception as e:  # noqa: BLE001 — includes lowering ValueErrors
+        if cfg.extra.get("use_pallas") is False:
+            raise  # already on the XLA path: a real failure
+        import sys
+        print(f"# {cfg.algorithm} K={cfg.K} T={cfg.T}: pallas path failed "
+              f"({type(e).__name__}: {e}); retrying use_pallas=False",
+              file=sys.stderr)
+        return _run_one(cfg, fallback=True)
+
+
+def _run_one(cfg: RunConfig, fallback: bool) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -189,6 +209,8 @@ def run_one(cfg: RunConfig) -> dict:
                                  seed=cfg.seed)
 
     static = dict(cfg.extra)
+    if fallback:
+        static["use_pallas"] = False
     if cfg.algorithm in ("flash", "flash_bs", "auto"):
         # for "auto" this flows through as a static override, so a routed
         # flash/flash_bs runs with the same segment count its parity
@@ -268,6 +290,7 @@ def run_one(cfg: RunConfig) -> dict:
         "device": str(jax.devices()[0]),
         "updates_per_s": cfg.K * cfg.K * cfg.T / wall,
         "parity": parity,
+        "pallas_fallback": fallback or "",
     }
 
 

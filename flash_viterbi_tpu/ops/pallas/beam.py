@@ -48,7 +48,10 @@ def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
     @pl.when(t == 0)
     def _():
         vals_s[:] = vals0_ref[:]            # (B, 1) f32
-        states_s[0, :] = states0_ref[0, :]  # (1, B) int32 SMEM
+        # SMEM moves must be scalar (Mosaic rejects vector SMEM loads);
+        # unrolled B scalar copies, executed once at t == 0 only
+        for b in range(B):
+            states_s[0, b] = states0_ref[0, b]
         prev_sv[:] = states0v_ref[:]        # (1, B) int32 VMEM
         if P:
             planes_s[:] = jnp.full((P, B), -1, jnp.int32)
@@ -65,7 +68,7 @@ def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
     maxv = jnp.max(tmp, axis=0, keepdims=True)          # (1, K)
     iotaB = jax.lax.broadcasted_iota(jnp.int32, (B, K), 0)
     slot = jnp.min(jnp.where(tmp == maxv, iotaB, B), axis=0, keepdims=True)
-    full = maxv + emits_ref[:]            # (1, K)
+    full = maxv + emits_ref[0]            # (1, K)
 
     # top-B extraction: masked max + lowest-index, distinct via `taken`
     iotaK = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
@@ -73,6 +76,7 @@ def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
     taken = jnp.zeros((1, K), jnp.bool_)
     sv = jnp.zeros((1, B), jnp.int32)
     slv = jnp.zeros((1, B), jnp.int32)
+    vv = jnp.zeros((1, B), jnp.float32)
     for b in range(B):
         masked = jnp.where(taken, NEG, full)
         m = jnp.max(masked)
@@ -81,21 +85,35 @@ def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
         idx = jnp.min(cand)
         taken = jnp.logical_or(taken, iotaK == idx)
         states_s[0, b] = idx
-        vals_s[b, 0] = m
-        hist_ref[0, 0, b] = idx
         # winning old-beam slot of this new beam entry: slot[idx]
         sb = jnp.min(jnp.where(iotaK == idx, slot, B))
-        slots_ref[0, 0, b] = sb
         sv = jnp.where(iotaB1 == b, idx, sv)
         slv = jnp.where(iotaB1 == b, sb, slv)
+        vv = jnp.where(iotaB1 == b, m, vv)
+    # one vector store each (per-lane scalar VMEM stores don't lower)
+    hist_ref[0] = sv
+    slots_ref[0] = slv
+    vals_s[:] = jnp.transpose(vv)
 
     if P:
         # anchor-plane recurrence (flash_bs._phase1_beam): record the old
-        # beam's states at anchor steps, propagate by winning slot after
-        moved = jnp.take_along_axis(planes_s[:],
-                                    jnp.broadcast_to(slv, (P, B)), axis=1)
-        rec = jnp.take_along_axis(prev_sv[:], slv, axis=1)  # (1, B)
-        prop_col = jnp.transpose(prop_ref[:])  # (P, 1)
+        # beam's states at anchor steps, propagate by winning slot after.
+        # Lane gathers (take_along_axis) don't lower on Mosaic — use the
+        # compare/select/reduce form: selT[j, b] == (j == slv[0, b]), and
+        # exactly one j matches per b (slot is always found), so the
+        # masked max IS the gather (fill -1 == the planes' unset value).
+        selT = (jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+                == jnp.broadcast_to(slv, (B, B)))
+        fill = jnp.full((B, B), -1, jnp.int32)
+
+        def lane_pick(row):  # row: (1, B) -> picked (1, B): out[b] = row[slv[b]]
+            col = jnp.broadcast_to(jnp.transpose(row), (B, B))
+            return jnp.max(jnp.where(selT, col, fill), axis=0, keepdims=True)
+
+        moved = jnp.concatenate(
+            [lane_pick(planes_s[pl.ds(p, 1), :]) for p in range(P)], axis=0)
+        rec = lane_pick(prev_sv[:])  # (1, B)
+        prop_col = prop_ref[0]  # (P, 1)
         planes_s[:] = jnp.where(prop_col > 0, moved,
                                 jnp.broadcast_to(rec, (P, B)))
 
@@ -110,6 +128,9 @@ def _call(logA, emits, vals0, states0, prop, P: int, interpret: bool):
     B = vals0.shape[0]
     Pp = max(P, 1)
     kernel = functools.partial(_beam_scan_kernel, B=B, K=K, P=P)
+    # time-major inputs/outputs use 3-D (1, x, y) blocks whose LAST TWO
+    # dims equal the array dims — a 2-D (1, x) block over a (Tm, x) array
+    # violates Mosaic's sublane rule (round-2 lowering failure)
     hist, slots, planes = pl.pallas_call(
         kernel,
         grid=(Tm,),
@@ -117,13 +138,15 @@ def _call(logA, emits, vals0, states0, prop, P: int, interpret: bool):
             pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Pp), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pp, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # logA stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Pp, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -145,7 +168,8 @@ def _call(logA, emits, vals0, states0, prop, P: int, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(vals0[:, None], states0[None, :], states0[None, :], prop, emits, logA)
+    )(vals0[:, None], states0[None, :], states0[None, :],
+      prop[:, :, None], emits[:, None, :], logA)
     return hist[:, 0, :], slots[:, 0, :], planes
 
 

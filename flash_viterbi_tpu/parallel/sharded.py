@@ -64,7 +64,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..algorithms.flash import flash_midpoints, prop_schedule, segment_layout
 from ..ops import maxplus as mp
-from ..ops.pallas.backtrack import backtrack_pallas
+from ..ops.pallas.backtrack import backtrack_pallas_batched
 from ..ops.pallas.maxplus import (
     kernel_supported,
     maxplus_scan,
@@ -334,9 +334,9 @@ def _flash_decode_pipelined(mesh, logA, logBT, logPi, ys, L: int, spd: int,
             # Pallas kernel (the XLA reverse scan costs one dependent HBM
             # gather round-trip per step — Lseg of them per segment).
             if use_kernel and n_state == 1:
-                walk = jax.vmap(
-                    partial(backtrack_pallas, interpret=interpret),
-                    in_axes=(1, 0))
+                # one kernel walks all NL lanes (vmap-of-pallas_call is
+                # Mosaic-illegal on the scalar block)
+                walk = partial(backtrack_pallas_batched, interpret=interpret)
             else:
                 walk = jax.vmap(mp.backtrack, in_axes=(1, 0))
             state = exits

@@ -1,21 +1,16 @@
-"""Round-2 measurement queue for the one real TPU chip, quick wins first.
+"""Round-3 measurement queue for the one real TPU chip, quick wins first.
 
 Each step appends one JSON line to stdout immediately (partial progress
 survives a tunnel outage).  Run exactly one TPU process at a time:
 
-    nohup python scripts/round2_measure.py > results/round2_measure.log 2>&1 &
+    nohup python scripts/round3_measure.py > results/round3_measure.log 2>&1 &
 
-Steps (VERDICT round-1 item numbers):
-  1. flash pointer @ headline          — sanity vs round-1 18-22 ms
-  2. flash hybrid lean @ headline      — item 6 (<= 40 ms bar)
-  3. flash_bs kernel vs XLA @ B=64     — item 10 (>= 2x 18.4 G beam-upd/s)
-  4. sieve_bs_mp @ headline K          — item 5 (beam-space step at K=3965)
-  5. sharded (1,1,1) pipelined path    — item 1 bar: within ~1.3x of fused,
-     at K=16384, T=4096 (sync floor negligible at ~6 s walls)
-Then run separately (hours-scale):
-  - scripts/config5_run.py             — item 1's full batch-8 x 65536 run
-  - FVT_TPU_TESTS=1 pytest -m tpu      — item 9's hardware tier
-  - python bench.py                    — the round artifact
+Round-3 context (VERDICT round-2): 9 of these steps never produced a
+number in round 2 — they all died on the backtrack/beam kernels' Mosaic
+lowering bugs, fixed this round.  The harness now also falls back to the
+XLA path (with a ``pallas_fallback`` marker) on any kernel failure, so
+every step emits a row no matter what.  Run ORDER (tpu_watch.sh): the
+pytest TPU tier goes FIRST — it isolates kernel bugs in minutes.
 """
 
 import json
@@ -48,7 +43,8 @@ def harness_row(**kw):
 
     row = run_one(RunConfig(**kw))
     return {k: row[k] for k in ("algorithm", "K_STATE", "obserRouteLEN",
-                                "time", "updates_per_s", "parity", "memory")}
+                                "time", "updates_per_s", "parity", "memory",
+                                "pallas_fallback")}
 
 
 def main():

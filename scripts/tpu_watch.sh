@@ -1,8 +1,16 @@
 #!/bin/bash
-# Probe the TPU tunnel until it answers, then drain the round-2 hardware
-# queue: measurement steps, the pytest TPU tier, bench.py, and the
-# config-5 long run.  Exactly one TPU process at a time (everything runs
-# sequentially in this loop).
+# Probe the TPU tunnel until it answers, then drain the round-3 hardware
+# queue.  Exactly one TPU process at a time (everything runs sequentially
+# in this loop).
+#
+# ORDER (round-2 lesson: the watcher ran bench/measure first and buried
+# the kernel-bug diagnosis):
+#   1. pytest TPU tier   — isolates kernel bugs in minutes; everything
+#                          else is meaningless if this is red
+#   2. bench.py          — the round's headline artifact (has its own
+#                          pallas->XLA fallback, so it always emits JSON)
+#   3. round3_measure.py — the measurement queue (per-step containment)
+#   4. config5_run.py    — the hours-scale north-star run
 #
 # Deadline-based (default 10 h of probing) rather than attempt-counted:
 # probe failures can be fast (connection refused) or slow (180 s hang),
@@ -18,18 +26,16 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   if timeout 180 python -c "import jax; d=jax.devices(); assert d and d[0].platform=='tpu', d; print(d)" \
       > /tmp/tpu_probe.out 2>&1; then
     echo "TPU up at attempt $i ($(date -u +%H:%M:%S)): $(cat /tmp/tpu_probe.out)"
-    # cheapest, highest-value artifact first: a brief tunnel window should
-    # at least produce the round's headline bench line
-    echo "== bench.py =="
-    timeout 3600 python bench.py > results/bench_r2.json 2> results/bench_r2.log
-    echo "bench exit: $?"
-    echo "== round2_measure =="
-    timeout 5400 python scripts/round2_measure.py > results/round2_measure.log 2>&1
-    echo "measure exit: $?"
     echo "== pytest tpu tier =="
     FVT_TPU_TESTS=1 timeout 3600 python -m pytest tests/test_tpu_hw.py -q \
       > results/tpu_tier.log 2>&1
     echo "tpu tier exit: $?"
+    echo "== bench.py =="
+    timeout 3600 python bench.py > results/bench_r3.json 2> results/bench_r3.log
+    echo "bench exit: $?"
+    echo "== round3_measure =="
+    timeout 7200 python scripts/round3_measure.py > results/round3_measure.log 2>&1
+    echo "measure exit: $?"
     echo "== config5 =="
     timeout 14400 python scripts/config5_run.py > results/config5.log 2>&1
     echo "config5 exit: $?"

@@ -202,7 +202,8 @@ def test_backtrack_kernel_matches_xla():
 
 
 def test_backtrack_kernel_batched():
-    """vmap over the lane axis (the fused_decode_batch dispatch shape)."""
+    """vmap over the lane axis (external-caller shape): the custom_vmap
+    rule must route to the batched kernel, never vmap the pallas_call."""
     import functools
 
     from flash_viterbi_tpu.ops.pallas.backtrack import backtrack_pallas
@@ -214,4 +215,36 @@ def test_backtrack_kernel_batched():
     ref = jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, last)
     walk = functools.partial(backtrack_pallas, interpret=True)
     got = jax.vmap(walk, in_axes=(1, 0))(ptrs, last)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_backtrack_kernel_batched_direct():
+    """Native batched API over multi-chunk (G>1) ragged tables — the
+    round-2 lowering failure shapes, pinned in interpret mode too."""
+    from flash_viterbi_tpu.ops.pallas.backtrack import backtrack_pallas_batched
+
+    rng = np.random.default_rng(9)
+    for T, N, K in [(1, 3, 16), (37, 4, 128), (1000, 3, 512), (130, 8, 256),
+                    (513, 1, 384)]:
+        ptrs = jnp.asarray(rng.integers(0, K, size=(T, N, K)).astype(np.int32))
+        last = jnp.asarray(rng.integers(0, K, size=(N,)).astype(np.int32))
+        ref = jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, last)
+        got = backtrack_pallas_batched(ptrs, last, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got),
+                                      err_msg=f"T={T} N={N} K={K}")
+
+
+def test_backtrack_unsupported_shape_falls_back():
+    """Shapes whose minimum block exceeds VMEM route to the XLA walk —
+    the dispatch never crashes (round-2 lesson: guards must guard)."""
+    from flash_viterbi_tpu.ops.pallas.backtrack import (
+        backtrack_pallas_batched, backtrack_supported)
+
+    N, K = 64, 16384  # 8*N*K*4*2 = 32 MB > VMEM
+    assert not backtrack_supported(N, K)
+    rng = np.random.default_rng(11)
+    ptrs = jnp.asarray(rng.integers(0, K, size=(5, N, K)).astype(np.int32))
+    last = jnp.asarray(rng.integers(0, K, size=(N,)).astype(np.int32))
+    ref = jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, last)
+    got = backtrack_pallas_batched(ptrs, last, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -143,8 +143,9 @@ def test_backtrack_kernel_on_hw(tpu_backend):
 
 
 def test_backtrack_kernel_batched_on_hw(tpu_backend):
-    """vmap-of-pallas_call on real Mosaic — the fused_decode_batch dispatch
-    (batching adds a leading grid dim; interpreter agreement isn't enough)."""
+    """External vmap on real Mosaic — must route through the custom_vmap
+    rule to the batched kernel (round 2: vmap-of-pallas_call produced a
+    Mosaic-illegal SMEM block and killed every batched decode)."""
     import jax
     import jax.numpy as jnp
 
@@ -158,6 +159,25 @@ def test_backtrack_kernel_batched_on_hw(tpu_backend):
     a = np.asarray(jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, last))
     b = np.asarray(jax.vmap(backtrack_pallas, in_axes=(1, 0))(ptrs, last))
     np.testing.assert_array_equal(a, b)
+
+
+def test_backtrack_kernel_batched_direct_on_hw(tpu_backend):
+    """Native batched API on real Mosaic, incl. multi-chunk G>1 ragged
+    tables and the config-5 K=16384 lane bound."""
+    import jax
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.ops import maxplus as mp
+    from flash_viterbi_tpu.ops.pallas.backtrack import backtrack_pallas_batched
+
+    rng = np.random.RandomState(9)
+    for T, N, K in [(37, 4, 128), (1000, 3, 512), (130, 8, 256),
+                    (12, 8, 16384)]:
+        ptrs = jnp.asarray(rng.randint(0, K, size=(T, N, K)).astype(np.int32))
+        last = jnp.asarray(rng.randint(0, K, size=(N,)).astype(np.int32))
+        a = np.asarray(jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, last))
+        b = np.asarray(backtrack_pallas_batched(ptrs, last))
+        np.testing.assert_array_equal(a, b, err_msg=f"T={T} N={N} K={K}")
 
 
 def test_sieve_bs_mp_mirror_on_hw(tpu_backend):
