@@ -17,11 +17,11 @@ Measured ranking being encoded (TPU v5e, SCALE.md):
   (177 G) and ``checkpoint`` (223 G) at the headline K=3965 — except at
   VMEM-resident state counts (K <= 1024), where the resident-mode fused
   scan measured fastest (243 G at K=1024, T=4096);
-* long T (>= ~8K steps): ``checkpoint`` (146-223 G) measured ahead of the
-  one-call fused scan (57 G at T=65536 — a gap since traced to the XLA
-  backtrack's serial HBM gathers, now replaced by the chunk-streamed
-  backtrack kernel and re-measured by the round-2 hardware queue) and,
-  decisively, it never materializes the (T, K) pointer table;
+* long T (>= ~8K steps): ``fused`` with the chunk-streamed backtrack
+  kernel (301 G at K=1024/T=65536, round-3 hardware queue — the round-1
+  "57 G" gap was the XLA walk's serial HBM gathers) while the (T, K)
+  pointer table fits ``LONG_T_PTR_BUDGET``; ``checkpoint`` (146-223 G,
+  no table at all) beyond that;
 * tiny T: the D&C machinery has nothing to split; plain ``fused``;
 * ``beam_width`` given: the beam family (``flash_bs``).
 
@@ -38,15 +38,18 @@ from .base import Decoder, build, register
 from .checkpoint import snapshot_step
 from .flash import LEAF_LANES, LEAN_CHUNK, LEAN_LEAF
 
-#: sequence length from which the checkpoint decoder is preferred: it
-#: avoids the (T, K) pointer table entirely (268 MB at K=1024/T=65536,
-#: unusable at config-5 K), and measured 146-223 G upd/s at long T
-#: (SCALE.md).  The fused scan's long-T gap was traced to its XLA
-#: backtrack (one dependent HBM gather per step) — the chunk-streamed
-#: backtrack kernel removes that; the round-2 hardware queue re-measures
-#: the two head-to-head (scripts/round2_measure.py::fused_longT_backtrack)
-#: and this threshold follows the data.
+#: sequence length at which long-T handling kicks in.  Round-3 hardware
+#: data (results/round3_measure.log::fused_longT_backtrack, K=1024,
+#: T=65536): fused forward 184 ms + chunk-streamed kernel backtrack 44 ms
+#: = 301 G upd/s, vs the XLA reverse walk's 125 ms (the round-1 "57 G
+#: anomaly", now fixed) and checkpoint's 146-223 G.  So long T prefers
+#: ``fused`` whenever its (T, K) int32 pointer table fits the HBM budget
+#: below, and falls to ``checkpoint`` (no table at all) beyond it.
 LONG_T = 8192
+#: pointer-table budget for the long-T fused route: 268 MB at
+#: K=1024/T=65536 is fine; config-5's 4 GB per sequence is not (the
+#: batch multiplies it) — checkpoint/lean take over there.
+LONG_T_PTR_BUDGET = 1 * 1024 * 1024 * 1024
 #: below this there is nothing worth segmenting
 TINY_T = 32
 
@@ -61,6 +64,9 @@ def rank(K: int, T: int, beam_width: int | None = None) -> list[tuple[str, dict]
     if T < TINY_T:
         return [("fused", {}), ("checkpoint", {})]
     if T >= LONG_T:
+        if T * K * 4 <= LONG_T_PTR_BUDGET:
+            return [("fused", {}), ("checkpoint", {}),
+                    ("flash", {"mode": "lean"})]
         return [("checkpoint", {}), ("flash", {"mode": "lean"})]
     if K <= RESIDENT_MAX_K:
         return [("fused", {}), ("flash", {"num_segments": 8}),

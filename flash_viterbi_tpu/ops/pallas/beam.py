@@ -10,8 +10,10 @@ measured.  This kernel keeps the entire time loop on-chip:
 * grid = (T-1,); TPU grids run sequentially, so the beam (values in VMEM,
   state ids in SMEM) carries across steps in scratch;
 * the B beam rows of ``logA`` stay in HBM (``memory_space=ANY``) and are
-  fetched per step with B concurrent dynamic-row DMAs — the only HBM
-  traffic (B*K*4 bytes/step vs the dense kernel's K*K*4);
+  fetched per step with B concurrent dynamic DMAs of tiling-ALIGNED
+  8-row blocks (single-row slices of a large (8,128)-tiled HBM memref do
+  not lower), the wanted row selected on the VPU — 8*B*K*4 bytes/step of
+  HBM traffic vs the dense kernel's K*K*4 (K/(8B) times less);
 * top-B selection is B iterations of masked max + lowest-index extract
   (exactly ``jax.lax.top_k``'s descending, index-stable order — the
   "taken" mask keeps indices distinct even among -inf ties);
@@ -41,7 +43,8 @@ NEG = float("-inf")  # python scalar: kernels may not capture traced constants
 def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
                       emits_ref, logA_hbm,
                       hist_ref, slots_ref, planes_ref,
-                      vals_s, states_s, rows_buf, prev_sv, planes_s, sems,
+                      vals_s, states_s, rows8_buf, rows_buf, prev_sv,
+                      planes_s, sems,
                       *, B: int, K: int, P: int):
     t = pl.program_id(0)
 
@@ -56,13 +59,22 @@ def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
         if P:
             planes_s[:] = jnp.full((P, B), -1, jnp.int32)
 
-    # fetch the B beam rows concurrently (dynamic row index from SMEM)
+    # fetch the B beam rows concurrently.  A single-row slice of a large
+    # (8,128)-tiled HBM memref does not lower ("slice shape along dim 0
+    # must be aligned to tiling (8)") — logA arrives reshaped (K//8, 8, K)
+    # so each DMA moves one ALIGNED 8-row block, and the wanted row is
+    # selected on the VPU (8x the minimum DMA traffic, still K/8th of the
+    # dense kernel's).
     for b in range(B):
-        pltpu.make_async_copy(logA_hbm.at[states_s[0, b]],
-                              rows_buf.at[b], sems.at[b]).start()
+        pltpu.make_async_copy(logA_hbm.at[states_s[0, b] // 8],
+                              rows8_buf.at[b], sems.at[b]).start()
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, K), 0)
     for b in range(B):
-        pltpu.make_async_copy(logA_hbm.at[states_s[0, b]],
-                              rows_buf.at[b], sems.at[b]).wait()
+        pltpu.make_async_copy(logA_hbm.at[states_s[0, b] // 8],
+                              rows8_buf.at[b], sems.at[b]).wait()
+        r = states_s[0, b] % 8
+        rows_buf[pl.ds(b, 1), :] = jnp.max(
+            jnp.where(sub == r, rows8_buf[b], NEG), axis=0, keepdims=True)
 
     tmp = vals_s[:] + rows_buf[:]         # (B, K)
     maxv = jnp.max(tmp, axis=0, keepdims=True)          # (1, K)
@@ -157,19 +169,20 @@ def _call(logA, emits, vals0, states0, prop, P: int, interpret: bool):
         scratch_shapes=[
             pltpu.VMEM((B, 1), jnp.float32),   # beam values
             pltpu.SMEM((1, B), jnp.int32),     # beam state ids
-            pltpu.VMEM((B, K), jnp.float32),   # gathered rows
+            pltpu.VMEM((B, 8, K), jnp.float32),  # aligned 8-row DMA blocks
+            pltpu.VMEM((B, K), jnp.float32),   # selected beam rows
             pltpu.VMEM((1, B), jnp.int32),     # previous beam states (vector)
             pltpu.VMEM((Pp, B), jnp.int32),    # anchor planes
             pltpu.SemaphoreType.DMA((B,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * Tm * B * K,
-            bytes_accessed=Tm * (B * K * 4 + K * 4),
+            bytes_accessed=Tm * (8 * B * K * 4 + K * 4),
             transcendentals=0,
         ),
         interpret=interpret,
     )(vals0[:, None], states0[None, :], states0[None, :],
-      prop[:, :, None], emits[:, None, :], logA)
+      prop[:, :, None], emits[:, None, :], logA.reshape(K // 8, 8, K))
     return hist[:, 0, :], slots[:, 0, :], planes
 
 
@@ -225,5 +238,6 @@ def beam_scan_planes(logA, emits, vals0, states0, prop, interpret: bool = False)
 
 def beam_kernel_supported(K: int, B: int) -> bool:
     """Lane-gather and VMEM bounds: beam fits one vreg's lanes; row DMAs
-    need lane-aligned K; the (B, K) row buffer must fit VMEM comfortably."""
-    return B <= 128 and K % 128 == 0 and B * K * 4 <= 8 * 1024 * 1024
+    need lane-aligned K; the (B, 8, K) aligned-block buffer + (B, K) row
+    buffer must fit VMEM comfortably (~16 MB/core)."""
+    return B <= 128 and K % 128 == 0 and 9 * B * K * 4 <= 12 * 1024 * 1024

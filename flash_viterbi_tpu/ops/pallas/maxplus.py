@@ -270,6 +270,15 @@ def maxplus_scan(logA: jax.Array, emits: jax.Array, delta0: jax.Array,
             bytes_accessed=Tm * K * K * 4 + Tm * N * K * 8,
             transcendentals=0,
         ),
+        # the default scoped-VMEM limit is ~16 MB; at K=16384 the
+        # double-buffered (128, 8192) tile + the lane-padded carry blocks
+        # legitimately need more (v5e has 128 MiB physical VMEM) — size the
+        # limit from the actual buffers instead of failing at compile
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                100 * 1024 * 1024,
+                4 * (2 * BK * BI + 2 * max(N, 8) * K + 6 * max(N, 8) * BI)
+                + 8 * 1024 * 1024)),
         interpret=interpret,
     )(delta0, logA, emits)
     return dfin, ptrs

@@ -41,6 +41,56 @@ def log_path_score_f64(logA, logB, logPi, y, path) -> float:
                  + lA[p[:-1], p[1:]].sum() + lB[p[1:], yv[1:]].sum())
 
 
+def beam_family_score_f64(A, B_mat, Pi, y, path) -> tuple[float, int]:
+    """f64 log-score under the SIEVE-BS family's flattened-path semantics.
+
+    Quirks honored: a zero emission probability contributes 0, not -inf
+    (``SIEVE-BS.c:428``, ``sieve_beam_search.py:119-123``); -1 fallout
+    sentinels break the transition chain (``SIEVE-Mp.c:412-420``); and a
+    zero-probability TRANSITION in the flattened output is a *junction
+    discontinuity* — beam pruning can force adjacent recursion nodes
+    through unconnected states, and the reference's own output does this
+    (the f64 oracle reproduces each one bit-for-bit; verified on the
+    K=64/seed=7 fixture in tests/test_validate.py).  Discontinuities
+    contribute 0 to the score and are counted.
+
+    Returns (score, junction_breaks).
+    """
+    with np.errstate(divide="ignore"):
+        lA = np.log(np.asarray(A, np.float64))
+        lB = np.log(np.asarray(B_mat, np.float64))
+        lP = np.log(np.asarray(Pi, np.float64))
+    lBq = np.where(np.isneginf(lB), 0.0, lB)
+    p = np.asarray(path)
+    yv = np.asarray(y)
+    ok = p >= 0
+    s = float(lP[p[0]] + lBq[p[0], yv[0]]) if ok[0] else 0.0
+    pair = ok[:-1] & ok[1:]
+    trans = lA[np.maximum(p[:-1], 0), np.maximum(p[1:], 0)]
+    breaks = int((pair & np.isneginf(trans)).sum())
+    s += float(np.where(pair & np.isfinite(trans), trans, 0.0).sum())
+    s += float(np.where(ok[1:], lBq[np.maximum(p[1:], 0), yv[1:]], 0.0).sum())
+    return s, breaks
+
+
+def beam_path_invariants(A, B_mat, Pi, y, path) -> str:
+    """Mirror-free sanity witness for beam-family rows at scales where no
+    oracle is affordable in a bench loop: every state must be a valid id
+    or the -1 sentinel, and the quirk-scored f64 must be finite.  Junction
+    discontinuities are reported, not failed (a reference property — see
+    :func:`beam_family_score_f64`).  This is a sanity check, not a parity
+    proof — the one-time heavyweight witnesses (compiled C + fp32 mirror)
+    live in scripts/sieve_bs_witness.py."""
+    p = np.asarray(path)
+    K = np.asarray(A).shape[0]
+    if not bool(((p >= -1) & (p < K)).all()):
+        return "invariants-VIOLATED"
+    s, breaks = beam_family_score_f64(A, B_mat, Pi, y, p)
+    if np.isfinite(s):
+        return f"invariants-ok:score={s:.3f},junction_breaks={breaks}"
+    return "invariants-VIOLATED"
+
+
 def score_tolerance_f64(T: int, ref_score: float) -> float:
     """Gross-breakage bound for comparing two fp32-optimal paths' f64
     scores.  Tie-flip accumulation stays well under one transition's

@@ -76,8 +76,9 @@ def main():
         algorithm="sieve_bs", K=512, M=16, T=128, prob=0.05, seed=2,
         beam_width=32))
     # the paper's own SIEVE-BS config (run.py beam=32): host-driven
-    # recursion at headline K — demonstrates the decoder's UX at scale
-    # (parity label is honest "unchecked" above the mirror cap)
+    # recursion at headline K — parity = mirror-free invariants here; the
+    # heavyweight one-time witnesses (compiled C binary + fp32 mirror at
+    # this exact config) live in scripts/sieve_bs_witness.py
     step("sieve_bs_headline", lambda: harness_row(
         algorithm="sieve_bs", K=3965, M=50, T=256, prob=0.112, seed=1,
         beam_width=32))

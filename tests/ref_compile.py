@@ -75,7 +75,7 @@ def patch_source(src: str, K: int, M: int, T: int, prob: float, data_path: str,
 
 def build_and_run(name: str, workdir: str, K: int, M: int, T: int, prob: float,
                   data_path: str, threads: int | None = None,
-                  beam: int | None = None) -> np.ndarray:
+                  beam: int | None = None, timeout: int = 600) -> np.ndarray:
     """Compile the patched reference program and return its decoded path."""
     src_text = patch_source(SOURCES[name], K, M, T, prob, data_path, threads, beam)
     cfile = os.path.join(workdir, f"{name}.c")
@@ -93,7 +93,7 @@ def build_and_run(name: str, workdir: str, K: int, M: int, T: int, prob: float,
             cmd.insert(1, f"-I{_GLIB_SHIM}")  # vendored minimal glib shim
     subprocess.run(cmd, check=True, capture_output=True)
     out = subprocess.run([binfile], capture_output=True, text=True, check=True,
-                         timeout=600).stdout
+                         timeout=timeout).stdout
     m = re.search(r"path: \[([^\]]*)\]", out)
     assert m, f"no path in reference output: {out[:500]}"
     return np.array([int(x) for x in m.group(1).split()], dtype=np.int64)

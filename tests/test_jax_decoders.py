@@ -103,7 +103,11 @@ def test_auto_selection_rules():
 
     assert choose(4096, 256) == ("flash", {"num_segments": 8})
     assert choose(1024, 256) == ("fused", {})  # VMEM-resident K
-    assert choose(1024, 65536)[0] == "checkpoint"
+    # long T: fused + chunk-streamed backtrack measured 301 G vs
+    # checkpoint's 146-223 G (round-3 hw queue) while the (T, K) pointer
+    # table fits LONG_T_PTR_BUDGET; beyond it, checkpoint (no table)
+    assert choose(1024, 65536)[0] == "fused"
+    assert choose(16384, 65536)[0] == "checkpoint"
     assert choose(1024, 8)[0] == "fused"
     assert choose(4096, 256, beam_width=64)[0] == "flash_bs"
     # a tiny budget can't shrink the beamed engine further: flash_bs is

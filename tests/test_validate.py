@@ -96,3 +96,48 @@ def test_arbitrate_tie_equivalent_tier():
                                     segs) == "tie-equivalent"
     assert arbitrate_flash_tie_flip(hmm.A, hmm.B, hmm.Pi, y, l,
                                     segs) == "mirror-exact"
+
+
+def test_beam_invariants_ok_and_violated():
+    import flash_viterbi_tpu as fvt
+    from flash_viterbi_tpu.oracle.sieve_bs import sieve_bs as oracle_sbs
+    from flash_viterbi_tpu.oracle.validate import (
+        beam_family_score_f64, beam_path_invariants)
+
+    hmm, y = make_sparse_hmm(K=64, M=8, T=32, prob=0.2, seed=7)
+    path = np.asarray(fvt.decode(hmm, y, algorithm="sieve_bs",
+                                 beam_width=16, warmup=False).path)[:32]
+    v = beam_path_invariants(hmm.A, hmm.B, hmm.Pi, y, path)
+    # this fixture has 2 junction discontinuities — and the f64 oracle
+    # (reference semantics) reproduces the exact same flattened path, so
+    # they are a reference property, not a decoder bug
+    pairs = oracle_sbs(hmm.A, hmm.B, hmm.Pi, y, beam_width=16)
+    flat = np.asarray([pairs[0][0], pairs[0][1]] + [p[1] for p in pairs[1:]])
+    np.testing.assert_array_equal(path, flat[:32])
+    assert v.startswith("invariants-ok:score=")
+    assert v.endswith("junction_breaks=2")
+    # an out-of-range state must be flagged
+    wrong = path.copy()
+    wrong[3] = 64
+    assert beam_path_invariants(hmm.A, hmm.B, hmm.Pi, y, wrong) \
+        == "invariants-VIOLATED"
+    # sentinel handling: -1 breaks the chain, score stays finite
+    sent = path.copy()
+    sent[5] = -1
+    s, _ = beam_family_score_f64(hmm.A, hmm.B, hmm.Pi, y, sent)
+    assert np.isfinite(s)
+
+
+def test_beam_invariants_match_quirk_semantics():
+    # the quirk score must treat zero emissions as 0, not -inf: zero an
+    # emission ON the decoded path and check the score stays finite
+    from flash_viterbi_tpu.oracle.validate import beam_family_score_f64
+
+    hmm, y = make_sparse_hmm(K=32, M=6, T=16, prob=0.4, seed=9)
+    B = np.asarray(hmm.B).copy()
+    import flash_viterbi_tpu as fvt
+    path = np.asarray(fvt.decode(hmm, y, algorithm="sieve_bs",
+                                 beam_width=8, warmup=False).path)[:16]
+    B[path[4], np.asarray(y)[4]] = 0.0  # zero emission ON the path
+    s, _ = beam_family_score_f64(hmm.A, B, hmm.Pi, y, path)
+    assert np.isfinite(s)
