@@ -29,6 +29,11 @@ def emit(**kw):
 
 
 def step(name, fn):
+    # CLI step filter: `python scripts/round3_measure.py stepA stepB` re-runs
+    # just those steps (for post-fix re-measurement without the full queue)
+    sel = sys.argv[1:]
+    if sel and name not in sel:
+        return
     t0 = time.time()
     try:
         out = fn()

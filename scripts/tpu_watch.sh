@@ -26,19 +26,34 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   if timeout 180 python -c "import jax; d=jax.devices(); assert d and d[0].platform=='tpu', d; print(d)" \
       > /tmp/tpu_probe.out 2>&1; then
     echo "TPU up at attempt $i ($(date -u +%H:%M:%S)): $(cat /tmp/tpu_probe.out)"
-    echo "== pytest tpu tier =="
-    FVT_TPU_TESTS=1 timeout 3600 python -m pytest tests/test_tpu_hw.py -q \
-      > results/tpu_tier.log 2>&1
-    echo "tpu tier exit: $?"
-    echo "== bench.py =="
-    timeout 3600 python bench.py > results/bench_r3.json 2> results/bench_r3.log
-    echo "bench exit: $?"
-    echo "== round3_measure =="
-    timeout 7200 python scripts/round3_measure.py > results/round3_measure.log 2>&1
-    echo "measure exit: $?"
-    echo "== config5 =="
-    timeout 14400 python scripts/config5_run.py > results/config5.log 2>&1
-    echo "config5 exit: $?"
+    # every step is idempotent-guarded: an artifact that already records a
+    # SUCCESSFUL run is not re-run (hours-scale steps; manual runs count)
+    if ! grep -q "passed" results/tpu_tier.log 2>/dev/null; then
+      echo "== pytest tpu tier =="
+      FVT_TPU_TESTS=1 timeout 3600 python -m pytest tests/test_tpu_hw.py -q \
+        > results/tpu_tier.log 2>&1
+      echo "tpu tier exit: $?"
+    fi
+    if ! grep -q '"exact_path_parity": true' results/bench_r3.json 2>/dev/null; then
+      echo "== bench.py =="
+      timeout 3600 python bench.py > results/bench_r3.json 2> results/bench_r3.log
+      echo "bench exit: $?"
+    fi
+    if ! grep -q '"step": "DONE"' results/round3_measure.log 2>/dev/null; then
+      echo "== round3_measure =="
+      timeout 7200 python scripts/round3_measure.py > results/round3_measure.log 2>&1
+      echo "measure exit: $?"
+    fi
+    if ! grep -q "CONFIG5 OK" results/config5.log 2>/dev/null; then
+      echo "== config5 =="
+      timeout 14400 python scripts/config5_run.py > results/config5.log 2>&1
+      echo "config5 exit: $?"
+    fi
+    if ! grep -q '"step": "DONE"' results/sieve_bs_witness.log 2>/dev/null; then
+      echo "== sieve_bs witness =="
+      timeout 21600 python scripts/sieve_bs_witness.py > results/sieve_bs_witness.log 2>&1
+      echo "witness exit: $?"
+    fi
     exit 0
   fi
   echo "probe $i failed ($(date -u +%H:%M:%S)): $(tail -c 200 /tmp/tpu_probe.out | tr '\n' ' ')"

@@ -217,3 +217,49 @@ def test_step_block_kernel_on_hw(tpu_backend):
     scores = delta[:, :, None] + logA_blk[None]
     np.testing.assert_array_equal(np.asarray(val), scores.max(axis=1))
     np.testing.assert_array_equal(np.asarray(ptr), scores.argmax(axis=1))
+
+
+def test_beam_kernel_large_K_on_hw(tpu_backend):
+    """Beam kernel at a large tiled K (the K=3968 class): single-row HBM
+    slices of an (8,128)-tiled memref don't lower — the aligned-8-row-DMA
+    design must, and must stay bit-exact with the XLA beam path."""
+    import jax.numpy as jnp
+
+    import flash_viterbi_tpu as fvt
+    from flash_viterbi_tpu.algorithms.beam import beam_decode
+
+    hmm, y = fvt.make_sparse_hmm(K=1530, M=12, T=40, prob=0.05, seed=3)
+    lh = hmm.log().padded(128)  # K -> 1536: multi-tile rows, aligned blocks
+    logA, logB, logPi = (jnp.asarray(x) for x in (lh.logA, lh.logB, lh.logPi))
+    yd = jnp.asarray(np.asarray(y), jnp.int32)
+    a = np.asarray(beam_decode(logA, logB, logPi, yd, beam_width=24,
+                               use_pallas=False))
+    b = np.asarray(beam_decode(logA, logB, logPi, yd, beam_width=24,
+                               use_pallas=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_scan_vmem_limit_K16384_on_hw(tpu_backend):
+    """The K=16384 tiled scan must compile and run (round-3 regression:
+    the default ~16 MB scoped-VMEM limit rejected its legitimate buffers
+    and killed the sharded/config-5 path at trace time)."""
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.ops import maxplus as mp
+    from flash_viterbi_tpu.ops.pallas.maxplus import maxplus_scan
+
+    K, N, Tm = 16384, 4, 3
+    rng = np.random.RandomState(5)
+    logA = jnp.asarray(rng.randn(K, K).astype(np.float32))
+    emits = jnp.asarray(rng.randn(Tm, N, K).astype(np.float32))
+    delta0 = jnp.asarray(rng.randn(N, K).astype(np.float32))
+    dfin, ptrs = maxplus_scan(logA, emits, delta0)
+    # spot-check one lane against the XLA step on the final state row
+    want = delta0
+    for t in range(Tm):
+        nxt = []
+        for n in range(N):
+            d, _ = mp.maxplus_step(want[n], logA, emits[t, n])
+            nxt.append(d)
+        want = jnp.stack(nxt)
+    np.testing.assert_allclose(np.asarray(dfin), np.asarray(want), rtol=0, atol=0)
