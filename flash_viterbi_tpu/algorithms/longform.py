@@ -1,0 +1,206 @@
+"""Host-phased FLASH decode for dispatch-bounded environments (config-5).
+
+The axon TPU tunnel enforces a per-dispatch execution ceiling (~2 min of
+device time; measured 2026-08-19: a benign 600-chunk fused scan at
+K=16384 — ~180 s — reproducibly crashes the worker with "TPU worker
+process crashed or restarted", while the same program at half length
+runs; see results/ROUND3.md).  A single-dispatch decode of the config-5
+shape (K=16384, T=65536: ~85 s phase 1 + ~40 s phase 2 per sequence)
+cannot fit, so this module runs FLASH pointer mode as a sequence of
+bounded dispatches driven from the host:
+
+* **phase 1**: the fused forward scan runs in groups of ``group_steps``
+  trellis steps (one dispatch each, ~5 s at config-5 scale); each group
+  returns its pointer rows, kept on device.  Splitting a scan at a carry
+  boundary is the identical computation, so the pointer table is
+  bit-identical to the one-dispatch scan's.
+* **anchors**: the group parts are walked in reverse with the
+  chunk-streamed Pallas backtrack, chaining boundary states — the
+  plane-fold identity (``algorithms.flash.phase1_anchors_pallas``):
+  anchors == path positions at the segment boundaries.
+* **phase 2**: the N forced-boundary segments re-run their DP (the
+  reference's restart semantics, ``FLASH_Viterbi_multithread.c:204-262``)
+  as one N-lane chunked scan, again in bounded groups, walked part-wise.
+
+Emissions are gathered from the (M, K) table per chunk (never a (T, K)
+materialization — 4.3 GB at config-5).  Bit-identical to
+``flash.flash_decode(mode="pointer")`` wherever both run
+(tests/test_longform.py pins this on CPU interpret).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas.backtrack import backtrack_pallas_batched
+from ..ops.pallas.maxplus import maxplus_scan
+from .flash import flash_midpoints, segment_layout
+
+_CHUNK = 512  # steps per maxplus_scan call inside a group dispatch
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "interpret"))
+def _scan_group(logA, logBT, y_seg, d, n_steps: int, interpret: bool):
+    """One bounded dispatch: n_steps trellis steps for the (N, K) carry.
+
+    y_seg: (N, n_steps) symbols for steps j..j+n_steps-1.
+    Returns (d', ptrs (n_steps, N, K)).
+    """
+    N, K = d.shape
+    n_ch = -(-n_steps // _CHUNK)
+
+    def one(dd, c0):
+        sym = jax.lax.dynamic_slice(
+            y_seg, (0, c0), (N, min(_CHUNK, n_steps)))
+        emits = jnp.transpose(logBT[sym], (1, 0, 2))
+        return maxplus_scan(logA, emits, dd, interpret=interpret)
+
+    if n_steps <= _CHUNK:
+        return one(d, 0)
+    full = n_steps // _CHUNK
+    d, stacked = jax.lax.scan(
+        lambda dd, c0: one(dd, c0), d, _CHUNK * jnp.arange(full))
+    parts = [stacked.reshape(full * _CHUNK, N, K)]
+    rem = n_steps - full * _CHUNK
+    if rem:
+        sym = jax.lax.dynamic_slice(y_seg, (0, full * _CHUNK), (N, rem))
+        emits = jnp.transpose(logBT[sym], (1, 0, 2))
+        d, ptrs = maxplus_scan(logA, emits, d, interpret=interpret)
+        parts.append(ptrs)
+    return d, jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _walk_part(ptrs, state, interpret: bool):
+    return backtrack_pallas_batched(ptrs, state, interpret=interpret)
+
+
+def _walk_chain(parts, state, interpret: bool):
+    """Reverse-chained walk over a list of pointer parts; returns the full
+    path (N, total_steps + 1) including the start state."""
+    pieces = []
+    for pt in reversed(parts):
+        w = _walk_part(pt, state, interpret)
+        pieces.append(np.asarray(w[:, 1:]))
+        state = w[:, 0]
+    pieces.append(np.asarray(state)[:, None])
+    return np.concatenate(pieces[::-1], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _d0_phase1(logA, logBT, logPi, sym0, interpret: bool):
+    return (logPi + logBT[sym0])[None, :]
+
+
+@jax.jit
+def _mask_part(ptrs, valid):
+    """Identity pointer rows where invalid (padding steps of ragged
+    segments): (n, N, K) ptrs, (n, N) valid."""
+    K = ptrs.shape[2]
+    iota = jnp.arange(K, dtype=jnp.int32)
+    return jnp.where(valid[:, :, None], ptrs, iota[None, None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _d0_phase2(logA, logBT, logPi, entries, first, sym0, interpret: bool):
+    NL = entries.shape[0]
+    K = logA.shape[0]
+    return (jnp.where(first[:, None], jnp.broadcast_to(logPi, (NL, K)),
+                      logA[entries])
+            + logBT[sym0])
+
+
+def flash_decode_long(logA, logB, logPi, y, num_segments: int = 4,
+                      group_steps: int = 4096,
+                      interpret: bool | str = "auto") -> np.ndarray:
+    """FLASH pointer-mode decode as bounded host-phased dispatches.
+
+    Same decode as ``flash.flash_decode(..., mode="pointer")`` (pointer
+    tables, forced-boundary segment restarts) but no single device
+    dispatch exceeds ~``group_steps`` trellis steps.  Returns the (T,)
+    int64 path.
+    """
+    if interpret == "auto":
+        interpret = jax.default_backend() != "tpu"
+    interpret = bool(interpret)
+    y = np.asarray(y, np.int32)
+    T = len(y)
+    K = logA.shape[0]
+    logBT = jnp.transpose(logB)
+    N = int(num_segments)
+    if N < 1 or T < 2 * N:
+        N = max(1, min(N, T // 2)) or 1
+    mids = flash_midpoints(0, T - 1, N) if N > 1 else []
+
+    # ---- phase 1: grouped forward scan, pointer parts kept on device ----
+    yd = jnp.asarray(y)[None, :]  # (1, T)
+    d = _d0_phase1(logA, logBT, logPi, yd[0, 0], interpret)
+    parts = []
+    j = 1
+    while j < T:
+        n = min(group_steps, T - j)
+        y_seg = jax.lax.dynamic_slice(yd, (0, j), (1, n))
+        d, ptrs = _scan_group(logA, logBT, y_seg, d, n_steps=n,
+                              interpret=interpret)
+        parts.append(ptrs)
+        j += n
+    last = int(np.asarray(jnp.argmax(d[0])))
+    if not mids:
+        path = _walk_chain(parts, jnp.asarray([last], jnp.int32), interpret)
+        return path[0].astype(np.int64)
+
+    path1 = _walk_chain(parts, jnp.asarray([last], jnp.int32), interpret)[0]
+    anchors = path1[np.asarray(mids)]
+    del parts, path1
+
+    # ---- phase 2: N-lane forced-boundary segment restart, grouped ------
+    # Ragged segments use the masked-Lmax layout of
+    # flash.decode_segments_pointer_pallas: steps past a segment's true
+    # length read clamped symbols and their pointer rows are fixed to the
+    # identity afterwards, so a uniform walk works.
+    starts, lens, Lmax = segment_layout(mids, T)
+    starts_np = np.asarray(starts)
+    lens_np = np.asarray(lens)
+    idx = np.minimum(starts_np[:, None] + np.arange(Lmax)[None, :], T - 1)
+    seg_sym = jnp.asarray(y[idx])  # (N, Lmax)
+    entries = jnp.asarray(np.concatenate([[0], anchors]), jnp.int32)
+    exits = jnp.asarray(np.concatenate([anchors, [last]]), jnp.int32)
+    first = jnp.asarray(np.arange(N) == 0)
+    d = _d0_phase2(logA, logBT, logPi, entries, first, seg_sym[:, 0],
+                   interpret)
+    parts = []
+    j = 1
+    while j < Lmax:
+        n = min(group_steps, Lmax - j)
+        y_seg = jax.lax.dynamic_slice(seg_sym, (0, j), (N, n))
+        d, ptrs = _scan_group(logA, logBT, y_seg, d, n_steps=n,
+                              interpret=interpret)
+        # identity rows on steps beyond each segment's true length
+        valid = jnp.asarray(
+            (j + np.arange(n))[:, None] <= (lens_np - 1)[None, :])
+        parts.append(_mask_part(ptrs, valid))
+        j += n
+    seg_paths = _walk_chain(parts, exits, interpret)  # (N, Lmax)
+    out = np.zeros(T, np.int64)
+    for s in range(N):
+        out[starts_np[s]:starts_np[s] + lens_np[s]] = \
+            seg_paths[s, :lens_np[s]]
+    return out
+
+
+def flash_decode_long_batch(logA, logB, logPi, ys, num_segments: int = 4,
+                            group_steps: int = 4096,
+                            interpret: bool | str = "auto") -> np.ndarray:
+    """Batch driver: sequences decode one at a time (each is already a
+    multi-dispatch pipeline; lanes inside phase 2 amortize the kernel)."""
+    return np.stack([
+        flash_decode_long(logA, logB, logPi, ys[b],
+                          num_segments=num_segments,
+                          group_steps=group_steps, interpret=interpret)
+        for b in range(ys.shape[0])
+    ])

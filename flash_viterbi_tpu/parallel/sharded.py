@@ -130,6 +130,60 @@ def _pipeline_plan(T: int, n_seq: int, num_segments: int | None):
     return L, spd, L // spd
 
 
+def _phase2_segments_kernel(logA_l, logBT_l, logPi_f, sym_all, entries, exits,
+                            first, Lseg: int, interpret: bool):
+    """Forced-boundary pointer decode of NL segments on the kernel path.
+
+    Args:
+      sym_all: (NL, Lseg) int32 per-segment observation symbols.
+      entries/exits: (NL,) forced boundary states (entry ignored where
+        ``first`` — those segments start from the model prior).
+      first: (NL,) bool — segment 0 of each sequence.
+
+    Returns (NL, Lseg) int32 segment paths.  Chunked scans bound the live
+    emissions; the backtrack walks part-wise, chaining boundary states —
+    never concatenating the (multi-GB at config-5 scale) pointer tables.
+    """
+    NL, _ = sym_all.shape
+    K = logA_l.shape[0]
+    d0 = (jnp.where(first[:, None], jnp.broadcast_to(logPi_f, (NL, K)),
+                    logA_l[entries])
+          + logBT_l[sym_all[:, 0]])
+    # chunk bound: keep the gathered emissions transient <= 64 MB
+    Cp2 = min(_CHUNK, max(8, (64 * 1024 * 1024) // (NL * K * 4)))
+
+    def run_chunk2(dd, c0):
+        sym = jax.lax.dynamic_slice(sym_all, (0, c0), (NL, Cp2))
+        emits = jnp.transpose(logBT_l[sym], (1, 0, 2))
+        return maxplus_scan(logA_l, emits, dd, interpret=interpret)
+
+    parts = []
+    d = d0
+    n_full = (Lseg - 1) // Cp2
+    if n_full:
+        d, stacked = jax.lax.scan(run_chunk2, d, 1 + Cp2 * jnp.arange(n_full))
+        parts.append(stacked.reshape(n_full * Cp2, NL, K))
+    rem = (Lseg - 1) - n_full * Cp2
+    if rem:
+        c0 = 1 + n_full * Cp2
+        sym = sym_all[:, c0:c0 + rem]
+        emits = jnp.transpose(logBT_l[sym], (1, 0, 2))
+        d, ptrs = maxplus_scan(logA_l, emits, d, interpret=interpret)
+        parts.append(ptrs)
+
+    # one kernel walks all NL lanes (vmap-of-pallas_call is Mosaic-illegal
+    # on the scalar block)
+    walk = partial(backtrack_pallas_batched, interpret=interpret)
+    state = exits
+    pieces = []
+    for ptr_part in reversed(parts):
+        walked = walk(ptr_part, state)
+        pieces.append(walked[:, 1:])
+        state = walked[:, 0]
+    pieces.append(state[:, None])
+    return jnp.concatenate(pieces[::-1], axis=1)  # (NL, Lseg)
+
+
 def _flash_decode_pipelined(mesh, logA, logBT, logPi, ys, L: int, spd: int,
                             Lseg: int, mb: int, use_kernel: bool,
                             interpret: bool):
@@ -198,23 +252,73 @@ def _flash_decode_pipelined(mesh, logA, logBT, logPi, ys, L: int, spd: int,
                     row, rec = x
                     return fold_one(pl_, row, rec), None
 
-                def run_chunk(carry, c0):
-                    dd, pl_ = carry
-                    sym = jax.lax.dynamic_slice(ys_blk, (0, c0), (mb, _CHUNK))
-                    emits = jnp.transpose(logBT_l[sym], (1, 0, 2))  # (C, mb, K)
-                    dd, ptrs = maxplus_scan(logA_l, emits, dd, interpret=interpret)
-                    rec = jax.lax.dynamic_slice(rec_sched, (c0 - 1, 0),
-                                                (_CHUNK, spd))
-                    pl_, _ = jax.lax.scan(fold_chunk, pl_, (ptrs, rec))
-                    return (dd, pl_), None
+                def scan_group(dd, c0s):
+                    """Pallas-only inner scan: stack the group's ptr rows."""
+                    def one(dd, c0):
+                        sym = jax.lax.dynamic_slice(ys_blk, (0, c0),
+                                                    (mb, _CHUNK))
+                        emits = jnp.transpose(logBT_l[sym], (1, 0, 2))
+                        return maxplus_scan(logA_l, emits, dd,
+                                            interpret=interpret)
+                    return jax.lax.scan(one, dd, c0s)
 
                 n_full = (L - 1) // _CHUNK
-                if n_full:
-                    # uniform full chunks under ONE scan — a single kernel
-                    # instruction in the trace regardless of T
-                    (d, planes), _ = jax.lax.scan(
-                        run_chunk, (d, planes),
-                        1 + _CHUNK * jnp.arange(n_full))
+                # stacked-pointer transient bound (~1 GB per group)
+                g_c = max(1, (1 << 30) // (_CHUNK * mb * K * 4))
+                if n_seq == 1:
+                    # Fold-free phase 1.  Interleaving the scan kernel with
+                    # the plane-fold's XLA gathers deterministically
+                    # crashes the TPU worker at K=16384, L>=32768 (isolated:
+                    # scan-only OK, fold-only OK, combined/grouped/barrier
+                    # all die — results/ROUND3.md).  With one block there
+                    # is no cross-block chain: β (plane 0) is never read,
+                    # and the interior anchors are the backtracked path at
+                    # the segment boundaries — the same pointer rows drive
+                    # fold and walk, so the values are bit-identical
+                    # (algorithms.flash.phase1_anchors_pallas, same
+                    # identity).  The walk is the Pallas backtrack kernel:
+                    # no XLA gather touches the scan's outputs.
+                    parts = []
+                    for g0 in range(0, n_full, g_c):
+                        gc = min(g_c, n_full - g0)
+                        c0s = 1 + _CHUNK * (g0 + jnp.arange(gc))
+                        d, ptrs_g = scan_group(d, c0s)  # (gc, C, mb, K)
+                        parts.append(ptrs_g.reshape(gc * _CHUNK, mb, K))
+                    rem = (L - 1) - n_full * _CHUNK
+                    if rem:
+                        c0 = 1 + n_full * _CHUNK
+                        sym = ys_blk[:, c0:c0 + rem]
+                        emits = jnp.transpose(logBT_l[sym], (1, 0, 2))
+                        d, ptrs = maxplus_scan(logA_l, emits, d,
+                                               interpret=interpret)
+                        parts.append(ptrs)
+                    state = jnp.argmax(d, axis=-1).astype(jnp.int32)
+                    pieces = []
+                    for pt in reversed(parts):
+                        w = backtrack_pallas_batched(pt, state,
+                                                     interpret=interpret)
+                        pieces.append(w[:, 1:])
+                        state = w[:, 0]
+                    path = jnp.concatenate([state[:, None]] + pieces[::-1],
+                                           axis=1)  # (mb, L)
+                    if spd > 1:
+                        anchors = path[:, Lseg - 1:(spd - 1) * Lseg:Lseg]
+                        planes = jnp.concatenate(
+                            [jnp.zeros((mb, 1, K), jnp.int32),  # β unused
+                             jnp.broadcast_to(anchors[:, :, None],
+                                              (mb, spd - 1, K))], axis=1)
+                    else:
+                        planes = jnp.zeros((mb, 1, K), jnp.int32)
+                    return d, planes
+                for g0 in range(0, n_full, g_c):
+                    gc = min(g_c, n_full - g0)
+                    c0s = 1 + _CHUNK * (g0 + jnp.arange(gc))
+                    d, ptrs_g = scan_group(d, c0s)  # (gc, C, mb, K)
+                    rec_g = rec_sched[g0 * _CHUNK:(g0 + gc) * _CHUNK]
+                    planes, _ = jax.lax.scan(
+                        fold_chunk, planes,
+                        (ptrs_g.reshape(gc * _CHUNK, mb, K),
+                         rec_g.reshape(gc * _CHUNK, spd)))
                 rem = (L - 1) - n_full * _CHUNK
                 if rem:
                     c0 = 1 + n_full * _CHUNK
@@ -294,59 +398,21 @@ def _flash_decode_pipelined(mesh, logA, logBT, logPi, ys, L: int, spd: int,
             sym0 = seg_sym[:, :, 0].reshape(NL)
             first = (r == 0) & (jnp.arange(NL) % spd == 0)
 
-            d0 = (jnp.where(first[:, None], jnp.broadcast_to(logPi_f, (NL, K)),
-                            ag(logA_l[entries]))
-                  + ag(logBT_l[sym0]))
-
             if use_kernel and n_state == 1:
-                # chunk bound: keep the gathered emissions transient <= 64 MB
-                Cp2 = min(_CHUNK, max(8, (64 * 1024 * 1024) // (NL * K * 4)))
-                sym_all = seg_sym.reshape(NL, Lseg)
-
-                def run_chunk2(dd, c0):
-                    sym = jax.lax.dynamic_slice(sym_all, (0, c0), (NL, Cp2))
-                    emits = jnp.transpose(logBT_l[sym], (1, 0, 2))
-                    return maxplus_scan(logA_l, emits, dd, interpret=interpret)
-
-                parts = []
-                d = d0
-                n_full = (Lseg - 1) // Cp2
-                if n_full:
-                    d, stacked = jax.lax.scan(run_chunk2, d,
-                                              1 + Cp2 * jnp.arange(n_full))
-                    parts.append(stacked.reshape(n_full * Cp2, NL, K))
-                rem = (Lseg - 1) - n_full * Cp2
-                if rem:
-                    c0 = 1 + n_full * Cp2
-                    sym = sym_all[:, c0:c0 + rem]
-                    emits = jnp.transpose(logBT_l[sym], (1, 0, 2))
-                    d, ptrs = maxplus_scan(logA_l, emits, d, interpret=interpret)
-                    parts.append(ptrs)
+                paths = _phase2_segments_kernel(
+                    logA_l, logBT_l, logPi_f, seg_sym.reshape(NL, Lseg),
+                    entries, exits, first, Lseg, interpret)
             else:
+                d0 = (jnp.where(first[:, None],
+                                jnp.broadcast_to(logPi_f, (NL, K)),
+                                ag(logA_l[entries]))
+                      + ag(logBT_l[sym0]))
                 syms = jnp.transpose(seg_sym[:, :, 1:].reshape(NL, Lseg - 1))
                 _, ptrs = jax.lax.scan(
                     lambda dd, sym: step_local(dd, sym), d0, syms)
-                parts = [ptrs]
-
-            # backtrack part-wise, chaining boundary states — never
-            # concatenates the (multi-GB at config-5 scale) pointer tables.
-            # On the kernel path the walk itself is the chunk-streamed
-            # Pallas kernel (the XLA reverse scan costs one dependent HBM
-            # gather round-trip per step — Lseg of them per segment).
-            if use_kernel and n_state == 1:
-                # one kernel walks all NL lanes (vmap-of-pallas_call is
-                # Mosaic-illegal on the scalar block)
-                walk = partial(backtrack_pallas_batched, interpret=interpret)
-            else:
-                walk = jax.vmap(mp.backtrack, in_axes=(1, 0))
-            state = exits
-            pieces = []
-            for ptr_part in reversed(parts):
-                walked = walk(ptr_part, state)
-                pieces.append(walked[:, 1:])
-                state = walked[:, 0]
-            pieces.append(state[:, None])
-            paths = jnp.concatenate(pieces[::-1], axis=1)  # (NL, Lseg)
+                # backtrack chains exactly like _phase2_segments_kernel
+                walked = jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, exits)
+                paths = walked  # (NL, Lseg)
             vals = paths.reshape(mb, L)
             out = jax.lax.dynamic_update_slice(
                 jnp.zeros((mb, T), jnp.int32), vals, (0, r * L))

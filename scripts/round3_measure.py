@@ -65,6 +65,16 @@ def main():
     # the reference's second published density (src/run.py:8-25)
     step("flash_prob169", lambda: harness_row(
         algorithm="flash", K=3965, M=50, T=256, prob=0.169, seed=1))
+    # SCALE.md refresh rows (same configs as the round-1 table)
+    step("fused_headline", lambda: harness_row(
+        algorithm="fused", K=3965, M=50, T=256, prob=0.112, seed=1))
+    step("checkpoint_K1024_T4096", lambda: harness_row(
+        algorithm="checkpoint", K=1024, M=50, T=4096, prob=0.112, seed=1))
+    step("fused_K1024_T4096", lambda: harness_row(
+        algorithm="fused", K=1024, M=50, T=4096, prob=0.112, seed=1))
+    step("fused_K16384_T256", lambda: harness_row(
+        algorithm="fused", K=16384, M=50, T=256, prob=0.112, seed=1,
+        check_parity=False))
     step("flash_bs_kernel", lambda: harness_row(
         algorithm="flash_bs", K=3965, M=50, T=256, prob=0.112, seed=1,
         beam_width=64, extra={"use_pallas": True}))
