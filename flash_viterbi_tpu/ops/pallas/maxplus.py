@@ -212,6 +212,13 @@ def _maxplus_scan_resident(logA, emits, delta0, interpret: bool):
             bytes_accessed=K * K * 4 + Tm * N * K * 8,
             transcendentals=0,
         ),
+        # default ~16 MB scoped-VMEM limit is too tight for the resident
+        # logA + double-buffered (C, N, K) emit/ptr blocks with sublane
+        # padding; size it from the real buffers (v5e: 128 MiB physical)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                100 * 1024 * 1024,
+                4 * (K * K + 6 * C * max(N, 8) * K) + 8 * 1024 * 1024)),
         interpret=interpret,
     )(delta0, logA, emits)
     return dfin, ptrs[:Tm]

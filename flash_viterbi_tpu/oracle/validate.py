@@ -91,6 +91,29 @@ def beam_path_invariants(A, B_mat, Pi, y, path) -> str:
     return "invariants-VIOLATED"
 
 
+def dp_divergence_tolerance_f64(T: int, ref_score: float) -> float:
+    """Legitimate f64-score gap between two fp32-DP decoders of the SAME
+    problem that accumulate rounding differently (different segmentations,
+    restart points, or sweep orders).
+
+    The fp32 recursion rounds once per step at magnitude ~|s|*t/T; argmax
+    selects on the ROUNDED scores, so the chosen paths' true (f64) scores
+    drift apart roughly like eps*|s|*sqrt(T) with a selection bias factor.
+    Hardware calibration (2026-08-19, results/ROUND3.md): at T=65536 the
+    observed gaps are ~4x eps*|s|*sqrt(T) — checkpoint vs flash N=8 at
+    K=1024: 31.5 nats; flash N=4 vs N=2 at K=16384: 39.5 nats — and are
+    MONOTONE in restart count (more restarts = shorter fp32 spans =
+    better scores), confirming rounding accumulation, not bugs.  The
+    bound here is 4x the observed factor.  Honest caveat: at this scale
+    one genuinely wrong transition (~10-15 nats) is INSIDE the tolerance
+    — score comparison cannot catch single-transition bugs at long T;
+    bit-exactness at small scale plus path-validity (finite f64) carry
+    that burden.
+    """
+    eps = 2.0 ** -23
+    return max(2.0, 16.0 * eps * abs(ref_score) * float(np.sqrt(T)))
+
+
 def score_tolerance_f64(T: int, ref_score: float) -> float:
     """Gross-breakage bound for comparing two fp32-optimal paths' f64
     scores.  Tie-flip accumulation stays well under one transition's

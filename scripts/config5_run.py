@@ -14,9 +14,11 @@ dispatch split happens at scan carry boundaries, the same computation).
 Validation (all dispatch-bounded):
 * cross-segmentation: sequence 0 re-decoded with num_segments=2 — a
   different anchor set and different phase-2 restarts; both paths are
-  f64-rescored and must agree within accumulated-fp32 tolerance (exact
-  fp32 tie flips between segmentations are legitimate — the reference C
-  behaves identically across MAX_THREADS, docs/DESIGN.md §1);
+  f64-rescored and must agree within ``dp_divergence_tolerance_f64``
+  (hardware-calibrated: fp32 DP rounding drifts legitimate decoders'
+  f64 scores ~4x eps*|s|*sqrt(T) apart at T=65536, MONOTONE in restart
+  count — more restarts round less; the reference C behaves identically
+  across MAX_THREADS, docs/DESIGN.md §1);
 * every decoded path is f64-rescored: finite score == no zero-probability
   transition anywhere in 65536 steps.
 
@@ -39,8 +41,8 @@ import jax.numpy as jnp
 from flash_viterbi_tpu.algorithms.longform import flash_decode_long
 from flash_viterbi_tpu.models.generate import make_sparse_hmm
 from flash_viterbi_tpu.oracle.validate import (
+    dp_divergence_tolerance_f64,
     log_path_score_f64,
-    score_tolerance_f64,
 )
 
 K, M, T, BATCH = 16384, 50, 65536, 8
@@ -104,7 +106,7 @@ def main():
     alt = flash_decode_long(logA, logB, logPi, ys_np[0], num_segments=2,
                             group_steps=GROUP)
     s_alt = log_path_score_f64(lh.logA, lh.logB, lh.logPi, ys_np[0], alt)
-    tol = score_tolerance_f64(T, scores[0])
+    tol = dp_divergence_tolerance_f64(T, scores[0])
     gap = abs(s_alt - scores[0])
     print(json.dumps({"validate": "cross_segmentation_N2",
                       "score_N4": scores[0], "score_N2": s_alt,

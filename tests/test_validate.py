@@ -141,3 +141,21 @@ def test_beam_invariants_match_quirk_semantics():
     B[path[4], np.asarray(y)[4]] = 0.0  # zero emission ON the path
     s, _ = beam_family_score_f64(hmm.A, B, hmm.Pi, y, path)
     assert np.isfinite(s)
+
+
+def test_dp_divergence_tolerance_scales():
+    from flash_viterbi_tpu.oracle.validate import (
+        dp_divergence_tolerance_f64, score_tolerance_f64)
+
+    # hardware-calibrated regime (results/ROUND3.md): observed legitimate
+    # gaps 31.5 (K=1024) / 39.5 (K=16384) nats at T=65536 must pass, with
+    # ~4x headroom but not unbounded
+    tol = dp_divergence_tolerance_f64(65536, -659486.0)
+    assert 39.5 < tol < 400.0
+    tol2 = dp_divergence_tolerance_f64(65536, -481416.0)
+    assert 31.5 < tol2 < 300.0
+    # short-T small-score regime stays tight (floor)
+    assert dp_divergence_tolerance_f64(256, -2198.0) == 2.0
+    # the plain (same-sweep) tolerance is much tighter than the
+    # cross-segmentation one at long T
+    assert score_tolerance_f64(65536, -659486.0) < tol / 5
