@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas.beam import beam_kernel_supported, beam_scan
+from ..ops.pallas.beam import beam_scan
 from .base import Decoder, register
 from .flash_bs import beam_step, beam_topk
 
@@ -30,8 +30,9 @@ def beam_decode(logA, logB, logPi, y, beam_width: int,
     vals0, states0 = beam_topk(logPi + emits[0], B)
 
     if use_pallas == "auto":
-        use_pallas = (jax.default_backend() == "tpu"
-                      and beam_kernel_supported(K, B))
+        # XLA measured faster than the beam kernel on hardware at the
+        # headline config (see flash_bs.flash_bs_decode) — same verdict
+        use_pallas = False
     if use_pallas:
         from .flash import _pallas_interpret
 

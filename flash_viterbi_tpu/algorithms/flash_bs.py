@@ -147,10 +147,15 @@ def flash_bs_decode(logA, logB, logPi, y, beam_width: int, num_segments: int = 8
     emits = logB[:, y].T
 
     if use_pallas == "auto":
-        from ..ops.pallas.beam import beam_kernel_supported
-
-        use_pallas = (jax.default_backend() == "tpu"
-                      and beam_kernel_supported(K, B))
+        # honest r3 hardware verdict (results/round3_measure.log): the
+        # beam kernel is bit-exact but SLOWER than the XLA beam path at
+        # the headline config (10.7 vs 4.75 ms at K=3965/B=64) — its
+        # tiling-legal row fetch moves aligned 8-row blocks (8x the
+        # minimum DMA traffic) and the per-step DMA latency dominates at
+        # small B.  XLA is the default; use_pallas=True stays available
+        # (hw-proven) for shapes where 8*B*K exceeds XLA's gather+top_k
+        # overheads.
+        use_pallas = False
     from .flash import _pallas_interpret
 
     mids = flash_midpoints(0, T - 1, N) if N > 1 else []
