@@ -20,6 +20,7 @@ from .algorithms import checkpoint as _checkpoint  # noqa: F401
 from .algorithms import flash as _flash  # noqa: F401
 from .algorithms import flash_bs as _flash_bs  # noqa: F401
 from .algorithms import fused as _fused  # noqa: F401
+from .algorithms import longform as _longform  # noqa: F401
 from .algorithms import sieve as _sieve  # noqa: F401
 from .algorithms import sieve_bs as _sieve_bs  # noqa: F401
 from .algorithms import sieve_dyn as _sieve_dyn  # noqa: F401

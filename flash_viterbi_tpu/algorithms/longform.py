@@ -204,3 +204,40 @@ def flash_decode_long_batch(logA, logB, logPi, ys, num_segments: int = 4,
                           group_steps=group_steps, interpret=interpret)
         for b in range(ys.shape[0])
     ])
+
+
+from .base import Decoder, register  # noqa: E402  (registry import cycle-safe)
+from .flash import _memory as _flash_memory  # noqa: E402
+
+
+@register("flash_long")
+def _build(num_segments: int = 4, group_steps: int = 4096,
+           **static) -> Decoder:
+    """Public registration: ``algorithm="flash_long"`` — FLASH pointer
+    mode as bounded host-phased dispatches (config-5-class shapes whose
+    single dispatch would exceed the environment's execution ceiling).
+    Host-driven (``jittable=False``), same reference-exact memory
+    accounting as flash pointer mode."""
+
+    def fn(logA, logB, logPi, y):
+        import jax.numpy as jnp
+
+        return jnp.asarray(
+            flash_decode_long(logA, logB, logPi, np.asarray(y),
+                              num_segments=num_segments,
+                              group_steps=group_steps))
+
+    def batch_fn(logA, logB, logPi, ys):
+        import jax.numpy as jnp
+
+        return jnp.asarray(
+            flash_decode_long_batch(logA, logB, logPi, np.asarray(ys),
+                                    num_segments=num_segments,
+                                    group_steps=group_steps))
+
+    return Decoder("flash_long", fn,
+                   {"num_segments": num_segments,
+                    "group_steps": group_steps, **static},
+                   lambda K, T, **kw: _flash_memory(
+                       K=K, T=T, num_segments=num_segments, mode="pointer"),
+                   jittable=False, batch_fn=batch_fn)

@@ -59,3 +59,14 @@ def test_long_batch():
                                       jnp.asarray(ys[b]), num_segments=4,
                                       mode="pointer", use_pallas=True))
         np.testing.assert_array_equal(ref, got[b])
+
+
+def test_flash_long_registered():
+    """Public API: algorithm='flash_long' decodes via the host-phased path
+    with flash pointer-mode's reference-exact memory accounting."""
+    hmm, y = fvt.make_sparse_hmm(K=96, M=10, T=48, prob=0.25, seed=11)
+    r = fvt.decode(hmm, y, algorithm="flash_long", num_segments=4,
+                   warmup=False)
+    ref = fvt.decode(hmm, y, algorithm="flash", num_segments=4, warmup=False)
+    np.testing.assert_array_equal(np.asarray(r.path), np.asarray(ref.path))
+    assert r.memory_bytes == ref.memory_bytes
