@@ -54,6 +54,20 @@ LONG_T_PTR_BUDGET = 1 * 1024 * 1024 * 1024
 TINY_T = 32
 
 
+#: estimated single-dispatch seconds above which one full-trellis sweep
+#: must be host-phased (``flash_long``): some environments bound a single
+#: device dispatch (the axon tunnel kills ~2 min dispatches — measured,
+#: results/ROUND3.md); 60 s of headroom at the measured ~190 G upd/s
+#: dense-kernel rate.  Override via FVT_DISPATCH_CEILING_S (0 = no bound).
+DISPATCH_CEILING_S = float(
+    __import__("os").environ.get("FVT_DISPATCH_CEILING_S", "60"))
+_DENSE_CELLS_PER_S = 1.9e11  # measured kernel rate, K=1024..16384 (SCALE.md)
+
+
+def _sweep_seconds(K: int, T: int) -> float:
+    return float(T) * K * K / _DENSE_CELLS_PER_S
+
+
 def rank(K: int, T: int, beam_width: int | None = None) -> list[tuple[str, dict]]:
     """Candidate (algorithm, static-kwargs) in measured-speed order."""
     if beam_width is not None:
@@ -61,6 +75,10 @@ def rank(K: int, T: int, beam_width: int | None = None) -> list[tuple[str, dict]
         # is NOT a fallback — its (T, B) tables are as large as flash_bs's
         # and it measured slower; there is nothing leaner to fall to.
         return [("flash_bs", {"beam_width": beam_width, "num_segments": 8})]
+    if DISPATCH_CEILING_S and _sweep_seconds(K, T) > DISPATCH_CEILING_S:
+        # config-5-class shapes: one forward sweep alone exceeds the
+        # dispatch ceiling — only the host-phased decoder can run
+        return [("flash_long", {"num_segments": 4})]
     if T < TINY_T:
         return [("fused", {}), ("checkpoint", {})]
     if T >= LONG_T:
@@ -86,8 +104,10 @@ def device_working_set(name: str, kw: dict, K: int, T: int) -> int:
     """
     N = kw.get("num_segments", 8)
     B = kw.get("beam_width", 64)
-    if name == "flash" and kw.get("mode") != "lean":
+    if name == "flash_long" or (name == "flash" and kw.get("mode") != "lean"):
         # per-round batched phase-2 pointer tables cover the sequence once
+        # (flash_long accumulates the same tables as device-resident group
+        # parts before each walk — same peak)
         return T * K * 4 + 4 * K * 4
     if name == "flash":
         # hybrid lean (flash.flash_decode mode="lean"): peak is the larger
@@ -168,6 +188,16 @@ def _build(memory_budget_bytes: int | None = None,
                           memory_budget_bytes, beam_width, static)
         return build(name, **kw).analytic_memory(K=K, T=T)
 
+    def jittable_fn(K: int, T: int) -> bool:
+        # host-driven choices (flash_long at dispatch-ceiling scale) must
+        # not be wrapped in jax.jit; decode() asks per shape
+        name, kw = choose(K, T, memory_budget_bytes, beam_width, static)
+        key = (name, tuple(sorted(kw.items())))
+        if key not in cache:
+            cache[key] = build(name, **kw)
+        return cache[key].jittable
+
     return Decoder("auto", fn,
                    {"memory_budget_bytes": memory_budget_bytes,
-                    "beam_width": beam_width, **static}, memory)
+                    "beam_width": beam_width, **static}, memory,
+                   jittable_fn=jittable_fn)

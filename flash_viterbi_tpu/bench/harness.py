@@ -156,7 +156,7 @@ def _parity(cfg, hmm, y, path, dec, tables):
         flat = np.asarray([pairs[0][0], pairs[0][1]] + [p[1] for p in pairs[1:]])
         n = min(len(flat), cfg.T)
         return bool((path[:n] == flat[:n]).all())
-    if not dec.jittable:
+    if not dec.jittable_for(tables[0].shape[0], cfg.T):
         # host-driven decoders have no alternate compute path to diff
         # against at large K; check the mirror-free invariants (valid
         # edges + finite quirk-scored f64) so no row ever says "unchecked"
@@ -254,7 +254,7 @@ def _run_one(cfg: RunConfig, fallback: bool) -> dict:
 
         return call
 
-    if dec.jittable:
+    if dec.jittable_for(logA.shape[0], yd.shape[-1]):
         wall = marginal_time(make_chain)
         runner = lambda *a: make_chain(1)()  # same compiled chain program
     else:

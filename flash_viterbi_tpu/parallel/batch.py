@@ -77,7 +77,7 @@ def decode_batch(
         if num_segments is not None:
             static.setdefault("num_segments", num_segments)
         dec = build(algorithm, **static)
-        if dec.jittable:
+        if dec.jittable_for(logA.shape[0], yd.shape[-1]):
             fn = jax.jit(jax.vmap(dec, in_axes=(None, None, None, 0)))
 
             def run():

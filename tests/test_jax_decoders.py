@@ -107,7 +107,17 @@ def test_auto_selection_rules():
     # checkpoint's 146-223 G (round-3 hw queue) while the (T, K) pointer
     # table fits LONG_T_PTR_BUDGET; beyond it, checkpoint (no table)
     assert choose(1024, 65536)[0] == "fused"
-    assert choose(16384, 65536)[0] == "checkpoint"
+    # config-5-class: one sweep alone exceeds the dispatch ceiling — only
+    # the host-phased decoder can run (ceiling off -> checkpoint, the
+    # leanest single-dispatch candidate)
+    assert choose(16384, 65536)[0] == "flash_long"
+    from flash_viterbi_tpu.algorithms import auto as auto_mod
+    old = auto_mod.DISPATCH_CEILING_S
+    try:
+        auto_mod.DISPATCH_CEILING_S = 0.0
+        assert choose(16384, 65536)[0] == "checkpoint"
+    finally:
+        auto_mod.DISPATCH_CEILING_S = old
     assert choose(1024, 8)[0] == "fused"
     assert choose(4096, 256, beam_width=64)[0] == "flash_bs"
     # a tiny budget can't shrink the beamed engine further: flash_bs is
