@@ -23,9 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import maxplus as mp
-from ..ops.pallas.backtrack import backtrack_pallas, backtrack_pallas_batched
+from ..ops.pallas.backtrack import (argmax_walk_pallas, argmax_walk_supported,
+                                    backtrack_pallas, backtrack_pallas_batched)
 from ..ops.pallas.maxplus import (forward_scan_pallas, kernel_supported,
-                                  maxplus_scan)
+                                  maxplus_scan, maxplus_scan_deltas)
 from .base import Decoder, register
 
 
@@ -60,7 +61,8 @@ def fused_decode(logA, logB, logPi, y, use_pallas: bool | str = "auto",
 
 
 def fused_decode_batch(logA, logB, logPi, ys, use_pallas: bool | str = "auto",
-                       precision: str = "fp32"):
+                       precision: str = "fp32",
+                       pointers: str = "auto"):
     """Decode a whole (BATCH, T) batch through the N-lane kernel.
 
     The kernel streams each logA tile ONCE per trellis step for the entire
@@ -68,6 +70,16 @@ def fused_decode_batch(logA, logB, logPi, ys, use_pallas: bool | str = "auto",
     sequence), so until the VPU saturates (~batch 4-8 at K=4096) batching
     is nearly free — per-chip throughput multiplies by the batch size.
     Returns (BATCH, T) paths identical to per-sequence ``fused_decode``.
+
+    ``pointers``: "store" records argmax witnesses in the forward scan
+    (the classic pipeline); "recompute" stores the fp32 carry history
+    instead and re-derives each WALKED step's argmax from one logA column
+    (SURVEY §7's recompute-on-backtrack trade) — the batched scan is
+    VPU-bound and the in-scan compare/select chain is ~60% of its per-cell
+    work, so dropping it raises aggregate throughput; bit-identical paths
+    (same fp32 sums drive both argmaxes).  "auto" picks recompute when the
+    batch is deep enough to be VPU-bound and the walk kernel supports the
+    shape.
     """
     Bs, T = ys.shape
     if precision == "bf16":
@@ -80,6 +92,17 @@ def fused_decode_batch(logA, logB, logPi, ys, use_pallas: bool | str = "auto",
         use_pallas = False
     if use_pallas:
         interpret = jax.default_backend() != "tpu"
+        K = logA.shape[0]
+        if pointers == "auto":
+            pointers = ("recompute"
+                        if Bs >= 4 and precision == "fp32"
+                        and argmax_walk_supported(Bs, K) else "store")
+        if pointers == "recompute":
+            dfin, deltas = maxplus_scan_deltas(logA, emits[1:], delta0,
+                                               interpret=interpret)
+            last = jnp.argmax(dfin, axis=1).astype(jnp.int32)
+            return argmax_walk_pallas(deltas, jnp.transpose(logA), last,
+                                      interpret=interpret)
         dfin, ptrs = maxplus_scan(logA, emits[1:], delta0, interpret=interpret)
         last = jnp.argmax(dfin, axis=1).astype(jnp.int32)  # (Bs,)
         # one kernel walks all Bs lanes (vmap-of-pallas_call is Mosaic-illegal)

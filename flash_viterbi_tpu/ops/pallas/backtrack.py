@@ -179,3 +179,216 @@ def backtrack_pallas(ptrs: jax.Array, last_state: jax.Array,
       (T'+1,) int32 full path including ``last_state``.
     """
     return _single(bool(interpret))(ptrs, last_state.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Recompute-argmax walk: backtrack over a carry HISTORY instead of a pointer
+# table (pairs with ops.pallas.maxplus.maxplus_scan_deltas).  Per walked
+# step the argmax is recomputed from delta_t plus ONE logA column (fetched
+# as a row of the transposed table with the aligned 8-row-block DMA) —
+# SURVEY §7's "recompute-argmax-on-backtrack" trade: the N-lane forward
+# scan drops its per-cell compare/select chain (the VPU bottleneck of the
+# batched decode) and the walk pays only O(T*N*K) recompute work on the
+# path itself.  Bit-identical pointers: the walk's sum delta_t[k] +
+# logAT[s, k] is the same fp32 pair the forward argmax compared, and
+# lowest-index-on-ties matches the scan kernel's cross-tile contract.
+# ---------------------------------------------------------------------------
+
+_WALK_C = 8  # rows per chunk (int32/f32 sublane tile)
+_NEG = float("-inf")  # python scalar: kernels may not capture traced consts
+
+
+def _walk_kernel(last_ref, logAT8_hbm, deltas_ref, path_ref, states_s,
+                 rows8_buf, sems, *, C: int, N: int, K: int):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        for n in range(N):
+            states_s[0, n] = last_ref[0, n]
+
+    laneK = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, K), 0)
+    laneN = jax.lax.broadcasted_iota(jnp.int32, (N, C), 0)
+    cpos = jax.lax.broadcasted_iota(jnp.int32, (N, C), 1)
+    acc = jnp.zeros((N, C), jnp.int32)
+
+    for i in range(C):
+        r = C - 1 - i
+        # issue all lanes' column fetches, then wait + compute (the row
+        # chain is sequential; lanes overlap their DMA latency)
+        for n in range(N):
+            s = jnp.minimum(states_s[0, n], K - 1)  # contract: always < K
+            pltpu.make_async_copy(logAT8_hbm.at[s // 8],
+                                  rows8_buf.at[n], sems.at[n]).start()
+        for n in range(N):
+            s = jnp.minimum(states_s[0, n], K - 1)
+            pltpu.make_async_copy(logAT8_hbm.at[s // 8],
+                                  rows8_buf.at[n], sems.at[n]).wait()
+            col = jnp.max(jnp.where(sub == s % 8, rows8_buf[n],
+                                    jnp.float32(_NEG)), axis=0, keepdims=True)
+            tmp = deltas_ref[pl.ds(r, 1), :, :][0][n:n + 1, :] + col  # (1, K)
+            m = jnp.max(tmp)
+            idx = jnp.min(jnp.where(tmp == m, laneK, K))
+            acc = jnp.where((laneN == n) & (cpos == r), idx, acc)
+            states_s[0, n] = idx
+
+    path_ref[0] = acc
+
+
+def _walk_kernel_masked(last_ref, valid_ref, logAT8_hbm, deltas_ref,
+                        path_ref, states_s, rows8_buf, sems,
+                        *, C: int, N: int, K: int):
+    """Masked variant (ragged segments): an invalid (row, lane) keeps the
+    lane state unchanged — the semantics of the stored-pointer path's
+    identity rows (``flash.decode_segments_pointer_pallas``)."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        for n in range(N):
+            states_s[0, n] = last_ref[0, n]
+
+    laneK = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, K), 0)
+    laneN = jax.lax.broadcasted_iota(jnp.int32, (N, C), 0)
+    cpos = jax.lax.broadcasted_iota(jnp.int32, (N, C), 1)
+    acc = jnp.zeros((N, C), jnp.int32)
+
+    for i in range(C):
+        r = C - 1 - i
+        for n in range(N):
+            s = jnp.minimum(states_s[0, n], K - 1)
+            pltpu.make_async_copy(logAT8_hbm.at[s // 8],
+                                  rows8_buf.at[n], sems.at[n]).start()
+        for n in range(N):
+            s = jnp.minimum(states_s[0, n], K - 1)
+            pltpu.make_async_copy(logAT8_hbm.at[s // 8],
+                                  rows8_buf.at[n], sems.at[n]).wait()
+            col = jnp.max(jnp.where(sub == s % 8, rows8_buf[n],
+                                    jnp.float32(_NEG)), axis=0, keepdims=True)
+            tmp = deltas_ref[pl.ds(r, 1), :, :][0][n:n + 1, :] + col  # (1, K)
+            m = jnp.max(tmp)
+            idx = jnp.min(jnp.where(tmp == m, laneK, K))
+            idx = jnp.where(valid_ref[r, n] > 0, idx, s)
+            acc = jnp.where((laneN == n) & (cpos == r), idx, acc)
+            states_s[0, n] = idx
+
+    path_ref[0] = acc
+
+
+def argmax_walk_supported(N: int, K: int) -> bool:
+    """VMEM bound: double-buffered (C, N, K) delta chunks + (N, 8, K)
+    aligned column blocks must fit comfortably."""
+    return (K % 128 == 0
+            and (2 * _WALK_C * N * K + 8 * N * K + 16 * N) * 4
+            <= 14 * 1024 * 1024)
+
+
+def argmax_walk_pallas(deltas: jax.Array, logAT: jax.Array,
+                       last_states: jax.Array, valid: jax.Array | None = None,
+                       interpret: bool = False) -> jax.Array:
+    """Backtrack over the carry history ``deltas`` (T', N, K).
+
+    Args:
+      deltas: (T', N, K) f32 — ``deltas[t]`` is the carry BEFORE forward
+        step t (``maxplus_scan_deltas``'s second output).
+      logAT:  (K, K) f32 — TRANSPOSED transition table (row s = the logA
+        column of destination s).
+      last_states: (N,) int32 states at the final time.
+      valid: optional (T', N) bool — False keeps the lane state unchanged
+        at that row (ragged segments; the stored-pointer path's identity
+        rows).  None = every row real.
+
+    Returns (N, T'+1) int32 full paths including ``last_states``.
+    """
+    Tm, N, K = deltas.shape
+    last = last_states.astype(jnp.int32).reshape(N)
+    if Tm == 0:
+        return last[:, None]
+    valid_i = None if valid is None else valid.astype(jnp.int32)
+
+    def xla_rows(rows, vrows, state):
+        """Walk `rows` (R, N, K) backwards in plain XLA (the < C ragged
+        tail).  Returns (state before the rows, states after each row:
+        tail[i] == path[row0 + 1 + i])."""
+        def step(s, x):
+            dr, v = x
+            t = dr + logAT[s]  # (N, K)
+            ns = jnp.argmax(t, axis=1).astype(jnp.int32)
+            if v is not None:
+                ns = jnp.where(v > 0, ns, s)
+            return ns, s
+
+        xs = (rows[::-1], None if vrows is None else vrows[::-1])
+        if vrows is None:
+            s, trail = jax.lax.scan(lambda s, dr: step(s, (dr, None)),
+                                    state, rows[::-1])
+        else:
+            s, trail = jax.lax.scan(step, state, xs)
+        return s, trail[::-1]
+
+    C = _WALK_C
+    G = Tm // C
+    rem = Tm - G * C
+    state = last  # path[G*C + rem] == path[Tm] on entry
+    tail = None
+    if rem:
+        state, tail = xla_rows(deltas[G * C:],
+                               None if valid_i is None else valid_i[G * C:],
+                               state)
+    # state == path[G*C]; tail[i] == path[G*C + 1 + i] (ends with `last`)
+    if G == 0:
+        pieces = [state[:, None]]
+        if tail is not None:
+            pieces.append(jnp.transpose(tail))
+        return jnp.concatenate(pieces, axis=1)
+
+    if valid_i is None:
+        kernel = functools.partial(_walk_kernel, C=C, N=N, K=K)
+        in_specs = [
+            pl.BlockSpec((1, N), lambda g: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # logAT8 stays in HBM
+            pl.BlockSpec((C, N, K), lambda g: (G - 1 - g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = (state[None, :], logAT.reshape(K // 8, 8, K), deltas[:G * C])
+    else:
+        kernel = functools.partial(_walk_kernel_masked, C=C, N=N, K=K)
+        in_specs = [
+            pl.BlockSpec((1, N), lambda g: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, N), lambda g: (G - 1 - g, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((C, N, K), lambda g: (G - 1 - g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = (state[None, :], valid_i[:G * C],
+                logAT.reshape(K // 8, 8, K), deltas[:G * C])
+    out = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, N, C), lambda g: (G - 1 - g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, N, C), jnp.int32),
+        scratch_shapes=[
+            pltpu.SMEM((1, N), jnp.int32),
+            pltpu.VMEM((N, 8, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((N,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * G * C * N * K,
+            bytes_accessed=G * C * N * (K + 8 * K) * 4,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                100 * 1024 * 1024,
+                (2 * C * N * K + 8 * N * K) * 4 + 8 * 1024 * 1024)),
+        interpret=interpret,
+    )(*args)
+    walked = jnp.moveaxis(out, 1, 0).reshape(N, G * C)  # path[0..G*C-1]
+    pieces = [walked, state[:, None]]  # + path[G*C]
+    if rem:
+        pieces.append(jnp.transpose(tail))  # path[G*C+1 .. Tm] (ends last)
+    return jnp.concatenate(pieces, axis=1)

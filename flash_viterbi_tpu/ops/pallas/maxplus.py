@@ -134,6 +134,109 @@ def _scan_kernel(delta0_ref, logA_ref, emits_ref, dfin_ref, ptr_ref,
         dbuf_ref[nxt, :, pl.ds(it * BI, BI)] = newd  # carry for step t+1
 
 
+def _scan_deltas_kernel(delta0_ref, logA_ref, emits_ref, dfin_ref, dout_ref,
+                        dbuf_ref, accv_ref, *, N: int, BK: int, BI: int):
+    """Pointer-free forward scan: emits the carry HISTORY instead of argmax
+    witnesses.  ``dout[t] = delta_t`` (the carry BEFORE step t); the
+    backtrack recomputes each walked step's argmax from ``delta_t`` plus
+    ONE logA column (``argmax_walk_pallas``) — the SURVEY §7
+    "recompute-argmax-on-backtrack" trade.  Dropping the in-scan
+    compare/select/min chain cuts the per-cell VPU work from ~5 ops to ~2,
+    which is the whole bottleneck of the N-lane batched scan (HBM has 15x
+    slack there).  Same grid/tiling/carry ping-pong as ``_scan_kernel``.
+    """
+    t = pl.program_id(0)
+    it = pl.program_id(1)
+    kt = pl.program_id(2)
+    KT = pl.num_programs(2)
+    cur = t % 2
+    nxt = (t + 1) % 2
+
+    @pl.when((t == 0) & (it == 0) & (kt == 0))
+    def _():
+        dbuf_ref[0, :, :] = delta0_ref[:]
+
+    @pl.when(kt == 0)
+    def _():
+        # the carry slice for this dest tile, BEFORE this step's update
+        dout_ref[0, :, :] = dbuf_ref[cur, :, pl.ds(it * BI, BI)]
+
+    tile = logA_ref[:]  # (BK, BI)
+    d_col = jnp.transpose(dbuf_ref[cur, :, pl.ds(kt * BK, BK)])  # (BK, N)
+
+    for n in range(N):
+        val = jnp.max(d_col[:, n:n + 1] + tile, axis=0, keepdims=True)
+
+        @pl.when(kt == 0)
+        def _():
+            accv_ref[n:n + 1, :] = val
+
+        @pl.when(kt > 0)
+        def _():
+            accv_ref[n:n + 1, :] = jnp.maximum(accv_ref[n:n + 1, :], val)
+
+    @pl.when(kt == KT - 1)
+    def _():
+        newd = accv_ref[:] + emits_ref[0, :, :]  # (N, BI)
+        dfin_ref[:] = newd
+        dbuf_ref[nxt, :, pl.ds(it * BI, BI)] = newd  # carry for step t+1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def maxplus_scan_deltas(logA: jax.Array, emits: jax.Array, delta0: jax.Array,
+                        interpret: bool = False):
+    """Forward scan emitting the carry history instead of pointer rows.
+
+    Returns (delta_final (N, K), deltas (T', N, K) f32) with
+    ``deltas[t] = delta_t`` (carry before step t; ``deltas[0] == delta0``).
+    Pair with :func:`argmax_walk_pallas` for the backtrack.  Bit-identical
+    scores to :func:`maxplus_scan` (same adds, same maxes — only the
+    argmax bookkeeping is dropped).
+    """
+    Tm, N, K = emits.shape
+    assert logA.shape == (K, K) and delta0.shape == (N, K)
+    if Tm == 0:
+        return delta0, jnp.zeros((0, N, K), jnp.float32)
+    BK, BI = _pick_tiles(K)
+    KT = K // BK
+    IT = K // BI
+
+    kernel = functools.partial(_scan_deltas_kernel, N=N, BK=BK, BI=BI)
+    dfin, deltas = pl.pallas_call(
+        kernel,
+        grid=(Tm, IT, KT),
+        in_specs=[
+            pl.BlockSpec((N, K), lambda t, it, kt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, BI), lambda t, it, kt: (kt, it), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, BI), lambda t, it, kt: (t, 0, it), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, BI), lambda t, it, kt: (0, it), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, BI), lambda t, it, kt: (t, 0, it), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, K), jnp.float32),
+            jax.ShapeDtypeStruct((Tm, N, K), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, N, K), jnp.float32),  # ping-pong delta carry
+            pltpu.VMEM((N, BI), jnp.float32),    # running max
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tm * N * K * K,
+            bytes_accessed=Tm * K * K * 4 + Tm * N * K * 8,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                100 * 1024 * 1024,
+                4 * (2 * BK * BI + 2 * max(N, 8) * K + 6 * max(N, 8) * BI)
+                + 8 * 1024 * 1024)),
+        interpret=interpret,
+    )(delta0, logA, emits)
+    return dfin, deltas
+
+
 # Below this state count the whole logA matrix stays VMEM-resident and the
 # time loop runs inside the kernel — zero HBM re-streaming per step, which
 # is what makes small-K long-T decoding VPU-bound instead of launch-bound.

@@ -248,3 +248,55 @@ def test_backtrack_unsupported_shape_falls_back():
     ref = jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, last)
     got = backtrack_pallas_batched(ptrs, last, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_scan_deltas_and_argmax_walk():
+    """Recompute-argmax pipeline (SURVEY §7 trade): maxplus_scan_deltas +
+    argmax_walk_pallas must reproduce maxplus_scan + backtrack BIT-exactly
+    — same fp32 sums drive both argmaxes, lowest index on ties."""
+    from flash_viterbi_tpu.ops.pallas.backtrack import argmax_walk_pallas
+    from flash_viterbi_tpu.ops.pallas.maxplus import (maxplus_scan,
+                                                      maxplus_scan_deltas)
+
+    rng = np.random.default_rng(3)
+    for Tm, N, K in [(1, 2, 256), (7, 1, 256), (37, 4, 128), (130, 3, 256),
+                     (16, 8, 384)]:
+        logA = jnp.asarray(rng.standard_normal((K, K)).astype(np.float32))
+        # exact ties: duplicate source rows
+        logA = logA.at[5].set(logA[9])
+        emits = jnp.asarray(rng.standard_normal((Tm, N, K)).astype(np.float32))
+        delta0 = jnp.asarray(rng.standard_normal((N, K)).astype(np.float32))
+
+        dfin, ptrs = maxplus_scan(logA, emits, delta0, interpret=True)
+        dfin2, deltas = maxplus_scan_deltas(logA, emits, delta0,
+                                            interpret=True)
+        np.testing.assert_array_equal(np.asarray(dfin), np.asarray(dfin2),
+                                      err_msg=f"dfin {Tm},{N},{K}")
+        np.testing.assert_array_equal(np.asarray(deltas[0]),
+                                      np.asarray(delta0))
+        last = jnp.argmax(dfin, axis=1).astype(jnp.int32)
+        want = jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, last)
+        got = argmax_walk_pallas(deltas, jnp.transpose(logA), last,
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got),
+                                      err_msg=f"walk {Tm},{N},{K}")
+
+
+def test_fused_batch_recompute_pointers():
+    """pointers='recompute' must be bit-identical to 'store' through the
+    public batched decode."""
+    from flash_viterbi_tpu.algorithms.fused import fused_decode_batch
+    from flash_viterbi_tpu.models.generate import make_sparse_hmm
+
+    hmm, y0 = make_sparse_hmm(K=120, M=10, T=33, prob=0.2, seed=4)
+    lh = hmm.log().padded(128)
+    rng = np.random.default_rng(6)
+    ys = jnp.asarray(np.stack(
+        [np.asarray(y0, np.int32)]
+        + [rng.integers(0, 10, 33).astype(np.int32) for _ in range(5)]))
+    logA, logB, logPi = (jnp.asarray(x) for x in (lh.logA, lh.logB, lh.logPi))
+    a = fused_decode_batch(logA, logB, logPi, ys, use_pallas=True,
+                           pointers="store")
+    b = fused_decode_batch(logA, logB, logPi, ys, use_pallas=True,
+                           pointers="recompute")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -263,3 +263,50 @@ def test_scan_vmem_limit_K16384_on_hw(tpu_backend):
             nxt.append(d)
         want = jnp.stack(nxt)
     np.testing.assert_allclose(np.asarray(dfin), np.asarray(want), rtol=0, atol=0)
+
+
+def test_recompute_argmax_pipeline_on_hw(tpu_backend):
+    """scan_deltas + argmax_walk (recompute-on-backtrack) must bit-match
+    the stored-pointer pipeline on real Mosaic — incl. the masked ragged
+    walk the flash phase 2 uses and the batched fused dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.algorithms.fused import fused_decode_batch
+    from flash_viterbi_tpu.models.generate import make_sparse_hmm
+    from flash_viterbi_tpu.ops import maxplus as mp
+    from flash_viterbi_tpu.ops.pallas.backtrack import argmax_walk_pallas
+    from flash_viterbi_tpu.ops.pallas.maxplus import (maxplus_scan,
+                                                      maxplus_scan_deltas)
+
+    rng = np.random.RandomState(2)
+    Tm, N, K = 45, 6, 512
+    logA = jnp.asarray(rng.randn(K, K).astype(np.float32))
+    logA = logA.at[5].set(logA[9])  # exact ties
+    emits = jnp.asarray(rng.randn(Tm, N, K).astype(np.float32))
+    delta0 = jnp.asarray(rng.randn(N, K).astype(np.float32))
+    dfin, ptrs = maxplus_scan(logA, emits, delta0)
+    dfin2, deltas = maxplus_scan_deltas(logA, emits, delta0)
+    np.testing.assert_array_equal(np.asarray(dfin), np.asarray(dfin2))
+    last = jnp.argmax(dfin, axis=1).astype(jnp.int32)
+    want = np.asarray(jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, last))
+    got = np.asarray(argmax_walk_pallas(deltas, jnp.transpose(logA), last))
+    np.testing.assert_array_equal(want, got)
+    # masked walk: invalidate a ragged tail per lane
+    valid = jnp.asarray(
+        np.arange(Tm)[:, None] < (Tm - np.arange(N))[None, :])
+    iota = jnp.arange(K, dtype=jnp.int32)
+    ptrs_m = jnp.where(valid[:, :, None], ptrs, iota[None, None, :])
+    want_m = np.asarray(jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs_m, last))
+    got_m = np.asarray(argmax_walk_pallas(deltas, jnp.transpose(logA), last,
+                                          valid=valid))
+    np.testing.assert_array_equal(want_m, got_m)
+    # end-to-end: batched fused decode, both pipelines
+    hmm, y0 = make_sparse_hmm(K=250, M=12, T=40, prob=0.1, seed=8)
+    lh = hmm.log().padded(128)
+    ys = jnp.asarray(np.stack([np.asarray(y0, np.int32)] * 4))
+    a = fused_decode_batch(jnp.asarray(lh.logA), jnp.asarray(lh.logB),
+                           jnp.asarray(lh.logPi), ys, pointers="store")
+    b = fused_decode_batch(jnp.asarray(lh.logA), jnp.asarray(lh.logB),
+                           jnp.asarray(lh.logPi), ys, pointers="recompute")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
