@@ -25,8 +25,9 @@ import jax.numpy as jnp
 from ..ops import maxplus as mp
 from ..ops.pallas.backtrack import (argmax_walk_pallas, argmax_walk_supported,
                                     backtrack_pallas, backtrack_pallas_batched)
-from ..ops.pallas.maxplus import (forward_scan_pallas, kernel_supported,
-                                  maxplus_scan, maxplus_scan_deltas)
+from ..ops.pallas.maxplus import (RESIDENT_MAX_K, forward_scan_pallas,
+                                  kernel_supported, maxplus_scan,
+                                  maxplus_scan_deltas)
 from .base import Decoder, register
 
 
@@ -49,6 +50,18 @@ def fused_decode(logA, logB, logPi, y, use_pallas: bool | str = "auto",
         use_pallas = False  # K not tileable by the kernel; fall back cleanly
     if use_pallas:
         interpret = jax.default_backend() != "tpu"
+        K = logA.shape[0]
+        if (precision == "fp32" and K <= RESIDENT_MAX_K
+                and argmax_walk_supported(1, K)):
+            # resident shapes are VPU-bound even single-lane: recompute
+            # pipeline (see fused_decode_batch) with the VMEM-resident
+            # walk (logAT fits on chip — no per-row DMA chain)
+            dfin, deltas = maxplus_scan_deltas(
+                logA, emits[1:][:, None, :], delta0[None, :],
+                interpret=interpret)
+            last = mp.argmax_final(dfin[0])
+            return argmax_walk_pallas(deltas, jnp.transpose(logA),
+                                      last[None], interpret=interpret)[0]
         dfin, ptrs = forward_scan_pallas(delta0, logA, emits[1:],
                                          interpret=interpret)
         last = mp.argmax_final(dfin)

@@ -37,28 +37,33 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas.backtrack import backtrack_pallas_batched
-from ..ops.pallas.maxplus import maxplus_scan
+from ..ops.pallas.backtrack import (argmax_walk_pallas,
+                                    argmax_walk_supported,
+                                    backtrack_pallas_batched)
+from ..ops.pallas.maxplus import maxplus_scan, maxplus_scan_deltas
 from .flash import flash_midpoints, segment_layout
 
 _CHUNK = 512  # steps per maxplus_scan call inside a group dispatch
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "interpret"))
-def _scan_group(logA, logBT, y_seg, d, n_steps: int, interpret: bool):
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "interpret", "recompute"))
+def _scan_group(logA, logBT, y_seg, d, n_steps: int, interpret: bool,
+                recompute: bool = False):
     """One bounded dispatch: n_steps trellis steps for the (N, K) carry.
 
     y_seg: (N, n_steps) symbols for steps j..j+n_steps-1.
-    Returns (d', ptrs (n_steps, N, K)).
+    Returns (d', parts (n_steps, N, K)) — int32 pointer rows, or the f32
+    carry history when ``recompute`` (the argmax-on-backtrack pipeline).
     """
     N, K = d.shape
-    n_ch = -(-n_steps // _CHUNK)
+    scan_fn = maxplus_scan_deltas if recompute else maxplus_scan
 
     def one(dd, c0):
         sym = jax.lax.dynamic_slice(
             y_seg, (0, c0), (N, min(_CHUNK, n_steps)))
         emits = jnp.transpose(logBT[sym], (1, 0, 2))
-        return maxplus_scan(logA, emits, dd, interpret=interpret)
+        return scan_fn(logA, emits, dd, interpret=interpret)
 
     if n_steps <= _CHUNK:
         return one(d, 0)
@@ -70,7 +75,7 @@ def _scan_group(logA, logBT, y_seg, d, n_steps: int, interpret: bool):
     if rem:
         sym = jax.lax.dynamic_slice(y_seg, (0, full * _CHUNK), (N, rem))
         emits = jnp.transpose(logBT[sym], (1, 0, 2))
-        d, ptrs = maxplus_scan(logA, emits, d, interpret=interpret)
+        d, ptrs = scan_fn(logA, emits, d, interpret=interpret)
         parts.append(ptrs)
     return d, jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
@@ -80,12 +85,25 @@ def _walk_part(ptrs, state, interpret: bool):
     return backtrack_pallas_batched(ptrs, state, interpret=interpret)
 
 
-def _walk_chain(parts, state, interpret: bool):
-    """Reverse-chained walk over a list of pointer parts; returns the full
-    path (N, total_steps + 1) including the start state."""
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _walk_part_recompute(deltas, logAT, state, valid, interpret: bool):
+    return argmax_walk_pallas(deltas, logAT, state, valid=valid,
+                              interpret=interpret)
+
+
+def _walk_chain(parts, state, interpret: bool, logAT=None, valids=None):
+    """Reverse-chained walk over a list of parts; returns the full path
+    (N, total_steps + 1) including the start state.  Pointer parts walk
+    on the backtrack kernel; with ``logAT`` the parts are carry histories
+    and walk on the recompute kernel (``valids``: per-part masks or
+    None)."""
     pieces = []
-    for pt in reversed(parts):
-        w = _walk_part(pt, state, interpret)
+    for i, pt in enumerate(reversed(parts)):
+        if logAT is None:
+            w = _walk_part(pt, state, interpret)
+        else:
+            v = None if valids is None else valids[len(parts) - 1 - i]
+            w = _walk_part_recompute(pt, logAT, state, v, interpret)
         pieces.append(np.asarray(w[:, 1:]))
         state = w[:, 0]
     pieces.append(np.asarray(state)[:, None])
@@ -173,19 +191,31 @@ def flash_decode_long(logA, logB, logPi, y, num_segments: int = 4,
     first = jnp.asarray(np.arange(N) == 0)
     d = _d0_phase2(logA, logBT, logPi, entries, first, seg_sym[:, 0],
                    interpret)
+    # recompute-on-backtrack when supported (bit-identical; ~2x the
+    # VPU-bound N-lane scan — algorithms/fused.py); ragged steps are
+    # masked in the walk (recompute) or as identity pointer rows (store)
+    recompute = argmax_walk_supported(N, K)
+    logAT = jnp.transpose(logA) if recompute else None
     parts = []
+    valids = []
     j = 1
     while j < Lmax:
         n = min(group_steps, Lmax - j)
         y_seg = jax.lax.dynamic_slice(seg_sym, (0, j), (N, n))
         d, ptrs = _scan_group(logA, logBT, y_seg, d, n_steps=n,
-                              interpret=interpret)
-        # identity rows on steps beyond each segment's true length
+                              interpret=interpret, recompute=recompute)
+        # steps beyond each segment's true length keep the lane state
         valid = jnp.asarray(
             (j + np.arange(n))[:, None] <= (lens_np - 1)[None, :])
-        parts.append(_mask_part(ptrs, valid))
+        if recompute:
+            parts.append(ptrs)
+            valids.append(valid)
+        else:
+            parts.append(_mask_part(ptrs, valid))
         j += n
-    seg_paths = _walk_chain(parts, exits, interpret)  # (N, Lmax)
+    seg_paths = _walk_chain(parts, exits, interpret,
+                            logAT=logAT,
+                            valids=valids if recompute else None)  # (N, Lmax)
     out = np.zeros(T, np.int64)
     for s in range(N):
         out[starts_np[s]:starts_np[s] + lens_np[s]] = \

@@ -277,6 +277,37 @@ def _walk_kernel_masked(last_ref, valid_ref, logAT8_hbm, deltas_ref,
     path_ref[0] = acc
 
 
+def _walk_kernel_resident(last_ref, logAT_ref, deltas_ref, path_ref,
+                          states_s, *, C: int, N: int, K: int):
+    """Resident variant: logAT lives in VMEM (K*K*4 small), so the walked
+    column is a dynamic sublane slice — no per-row DMA chain at all.  This
+    keeps the long-T small-K walk at streamed-chunk speed."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        for n in range(N):
+            states_s[0, n] = last_ref[0, n]
+
+    laneK = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    laneN = jax.lax.broadcasted_iota(jnp.int32, (N, C), 0)
+    cpos = jax.lax.broadcasted_iota(jnp.int32, (N, C), 1)
+    acc = jnp.zeros((N, C), jnp.int32)
+
+    for i in range(C):
+        r = C - 1 - i
+        for n in range(N):
+            s = jnp.minimum(states_s[0, n], K - 1)
+            col = logAT_ref[pl.ds(s, 1), :]  # (1, K) dynamic sublane read
+            tmp = deltas_ref[pl.ds(r, 1), :, :][0][n:n + 1, :] + col
+            m = jnp.max(tmp)
+            idx = jnp.min(jnp.where(tmp == m, laneK, K))
+            acc = jnp.where((laneN == n) & (cpos == r), idx, acc)
+            states_s[0, n] = idx
+
+    path_ref[0] = acc
+
+
 def argmax_walk_supported(N: int, K: int) -> bool:
     """VMEM bound: double-buffered (C, N, K) delta chunks + (N, 8, K)
     aligned column blocks must fit comfortably."""
@@ -344,7 +375,20 @@ def argmax_walk_pallas(deltas: jax.Array, logAT: jax.Array,
             pieces.append(jnp.transpose(tail))
         return jnp.concatenate(pieces, axis=1)
 
-    if valid_i is None:
+    # resident route: logAT in VMEM kills the per-row DMA chain entirely
+    resident = (valid_i is None
+                and (K * K + 3 * _WALK_C * N * K) * 4 <= 12 * 1024 * 1024)
+    if resident:
+        kernel = functools.partial(_walk_kernel_resident, C=C, N=N, K=K)
+        in_specs = [
+            pl.BlockSpec((1, N), lambda g: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, K), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, N, K), lambda g: (G - 1 - g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = (state[None, :], logAT, deltas[:G * C])
+        scratch = [pltpu.SMEM((1, N), jnp.int32)]
+    elif valid_i is None:
         kernel = functools.partial(_walk_kernel, C=C, N=N, K=K)
         in_specs = [
             pl.BlockSpec((1, N), lambda g: (0, 0), memory_space=pltpu.SMEM),
@@ -365,6 +409,12 @@ def argmax_walk_pallas(deltas: jax.Array, logAT: jax.Array,
         ]
         args = (state[None, :], valid_i[:G * C],
                 logAT.reshape(K // 8, 8, K), deltas[:G * C])
+    if not resident:
+        scratch = [
+            pltpu.SMEM((1, N), jnp.int32),
+            pltpu.VMEM((N, 8, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((N,)),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -372,11 +422,7 @@ def argmax_walk_pallas(deltas: jax.Array, logAT: jax.Array,
         out_specs=pl.BlockSpec((1, N, C), lambda g: (G - 1 - g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, N, C), jnp.int32),
-        scratch_shapes=[
-            pltpu.SMEM((1, N), jnp.int32),
-            pltpu.VMEM((N, 8, K), jnp.float32),
-            pltpu.SemaphoreType.DMA((N,)),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=3 * G * C * N * K,
             bytes_accessed=G * C * N * (K + 8 * K) * 4,

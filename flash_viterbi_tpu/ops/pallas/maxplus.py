@@ -197,6 +197,9 @@ def maxplus_scan_deltas(logA: jax.Array, emits: jax.Array, delta0: jax.Array,
     assert logA.shape == (K, K) and delta0.shape == (N, K)
     if Tm == 0:
         return delta0, jnp.zeros((0, N, K), jnp.float32)
+    if (K <= RESIDENT_MAX_K and logA.dtype == jnp.float32
+            and (K * K + 2 * _RESIDENT_CHUNK * N * K) * 4 <= _VMEM_BUDGET):
+        return _maxplus_scan_resident_deltas(logA, emits, delta0, interpret)
     BK, BI = _pick_tiles(K)
     KT = K // BK
     IT = K // BI
@@ -279,6 +282,81 @@ def _scan_res_kernel(delta0_ref, logA_ref, emits_ref, dfin_ref, ptr_ref,
     @pl.when(tc == pl.num_programs(0) - 1)
     def _():
         dfin_ref[:] = drow_ref[:]
+
+
+def _scan_res_deltas_kernel(delta0_ref, logA_ref, emits_ref, dfin_ref,
+                            dout_ref, drow_ref, *, N: int, C: int, Tm: int):
+    """Resident-mode pointer-free scan: emits the carry history (see
+    ``_scan_deltas_kernel``); logA never leaves VMEM.  Resident shapes are
+    entirely VPU-bound, so dropping the argmax bookkeeping (~60% of the
+    per-cell ops) is the same ~2x win as in the tiled kernel."""
+    tc = pl.program_id(0)
+
+    @pl.when(tc == 0)
+    def _():
+        drow_ref[:] = delta0_ref[:]
+
+    A = logA_ref[:]  # (K, K), VMEM-resident
+
+    def body(c, _):
+        valid = tc * C + c < Tm
+        d = drow_ref[:]  # (N, K)
+        dout_ref[pl.ds(c, 1), :, :] = d[None]  # carry BEFORE this step
+        for n in range(N):
+            col = jnp.transpose(d[n:n + 1, :])  # (K, 1)
+            val = jnp.max(col + A, axis=0, keepdims=True)
+            newd = val + emits_ref[c, n:n + 1, :]
+            drow_ref[n:n + 1, :] = jnp.where(valid, newd, d[n:n + 1, :])
+        return 0
+
+    jax.lax.fori_loop(0, C, body, 0)
+
+    @pl.when(tc == pl.num_programs(0) - 1)
+    def _():
+        dfin_ref[:] = drow_ref[:]
+
+
+def _maxplus_scan_resident_deltas(logA, emits, delta0, interpret: bool):
+    Tm, N, K = emits.shape
+    C = min(_RESIDENT_CHUNK, Tm)
+    TC = -(-Tm // C)
+    Tp = TC * C
+    if Tp != Tm:
+        pad = jnp.zeros((Tp - Tm, N, K), emits.dtype)
+        emits = jnp.concatenate([emits, pad])
+
+    kernel = functools.partial(_scan_res_deltas_kernel, N=N, C=C, Tm=Tm)
+    dfin, deltas = pl.pallas_call(
+        kernel,
+        grid=(TC,),
+        in_specs=[
+            pl.BlockSpec((N, K), lambda tc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, K), lambda tc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, N, K), lambda tc: (tc, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, K), lambda tc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, N, K), lambda tc: (tc, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, K), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, N, K), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, K), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tm * N * K * K,
+            bytes_accessed=K * K * 4 + Tm * N * K * 8,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                100 * 1024 * 1024,
+                4 * (K * K + 8 * C * max(N, 8) * K) + 8 * 1024 * 1024)),
+        interpret=interpret,
+    )(delta0, logA, emits)
+    return dfin, deltas[:Tm]
 
 
 def _maxplus_scan_resident(logA, emits, delta0, interpret: bool):

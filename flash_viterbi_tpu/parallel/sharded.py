@@ -64,10 +64,15 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..algorithms.flash import flash_midpoints, prop_schedule, segment_layout
 from ..ops import maxplus as mp
-from ..ops.pallas.backtrack import backtrack_pallas_batched
+from ..ops.pallas.backtrack import (
+    argmax_walk_pallas,
+    argmax_walk_supported,
+    backtrack_pallas_batched,
+)
 from ..ops.pallas.maxplus import (
     kernel_supported,
     maxplus_scan,
+    maxplus_scan_deltas,
     maxplus_step_block,
     step_block_supported,
 )
@@ -151,11 +156,16 @@ def _phase2_segments_kernel(logA_l, logBT_l, logPi_f, sym_all, entries, exits,
           + logBT_l[sym_all[:, 0]])
     # chunk bound: keep the gathered emissions transient <= 64 MB
     Cp2 = min(_CHUNK, max(8, (64 * 1024 * 1024) // (NL * K * 4)))
+    # recompute-on-backtrack when the walk supports the shape: the NL-lane
+    # scan is VPU-bound and drops its argmax bookkeeping (~60% of the
+    # per-cell work); bit-identical paths (algorithms/fused.py)
+    recompute = argmax_walk_supported(NL, K)
+    scan_fn = maxplus_scan_deltas if recompute else maxplus_scan
 
     def run_chunk2(dd, c0):
         sym = jax.lax.dynamic_slice(sym_all, (0, c0), (NL, Cp2))
         emits = jnp.transpose(logBT_l[sym], (1, 0, 2))
-        return maxplus_scan(logA_l, emits, dd, interpret=interpret)
+        return scan_fn(logA_l, emits, dd, interpret=interpret)
 
     parts = []
     d = d0
@@ -168,12 +178,17 @@ def _phase2_segments_kernel(logA_l, logBT_l, logPi_f, sym_all, entries, exits,
         c0 = 1 + n_full * Cp2
         sym = sym_all[:, c0:c0 + rem]
         emits = jnp.transpose(logBT_l[sym], (1, 0, 2))
-        d, ptrs = maxplus_scan(logA_l, emits, d, interpret=interpret)
+        d, ptrs = scan_fn(logA_l, emits, d, interpret=interpret)
         parts.append(ptrs)
 
     # one kernel walks all NL lanes (vmap-of-pallas_call is Mosaic-illegal
-    # on the scalar block)
-    walk = partial(backtrack_pallas_batched, interpret=interpret)
+    # on the scalar block); segments here are EQUAL length — no mask
+    if recompute:
+        logAT_l = jnp.transpose(logA_l)
+        walk = lambda pt, st: argmax_walk_pallas(pt, logAT_l, st,
+                                                 interpret=interpret)
+    else:
+        walk = partial(backtrack_pallas_batched, interpret=interpret)
     state = exits
     pieces = []
     for ptr_part in reversed(parts):

@@ -300,3 +300,31 @@ def test_fused_batch_recompute_pointers():
     b = fused_decode_batch(logA, logB, logPi, ys, use_pallas=True,
                            pointers="recompute")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_argmax_walk_nonresident_route():
+    """K=2048 exceeds the resident-walk VMEM gate — the HBM 8-row-block
+    DMA route must agree too."""
+    from flash_viterbi_tpu.ops.pallas.backtrack import argmax_walk_pallas
+    from flash_viterbi_tpu.ops.pallas.maxplus import maxplus_scan
+
+    rng = np.random.default_rng(12)
+    Tm, N, K = 11, 2, 2048
+    logA = jnp.asarray(rng.standard_normal((K, K)).astype(np.float32))
+    emits = jnp.asarray(rng.standard_normal((Tm, N, K)).astype(np.float32))
+    delta0 = jnp.asarray(rng.standard_normal((N, K)).astype(np.float32))
+    dfin, ptrs = maxplus_scan(logA, emits, delta0, interpret=True)
+    last = jnp.argmax(dfin, axis=1).astype(jnp.int32)
+    want = jax.vmap(mp.backtrack, in_axes=(1, 0))(ptrs, last)
+    got = argmax_walk_pallas(
+        jnp.concatenate([delta0[None],
+                         jnp.zeros((0, N, K), jnp.float32)])
+        if False else _deltas_of(logA, emits, delta0),
+        jnp.transpose(logA), last, interpret=True)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def _deltas_of(logA, emits, delta0):
+    from flash_viterbi_tpu.ops.pallas.maxplus import maxplus_scan_deltas
+    _, deltas = maxplus_scan_deltas(logA, emits, delta0, interpret=True)
+    return deltas
