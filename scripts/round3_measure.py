@@ -277,6 +277,46 @@ def main():
                 "paths_match": match}
 
     step("fused_longT_backtrack", fused_longT_backtrack)
+
+    def fused_longT_e2e():
+        """End-to-end fused decode at K=1024, T=65536 — the resident
+        recompute pipeline (655 G measured when added, vs 289 G stored)."""
+        import jax
+        import jax.numpy as jnp
+
+        from flash_viterbi_tpu.algorithms.checkpoint import checkpoint_decode_pallas
+        from flash_viterbi_tpu.algorithms.fused import fused_decode
+        from flash_viterbi_tpu.models.generate import make_sparse_hmm
+        from flash_viterbi_tpu.oracle.validate import log_path_score_f64
+
+        K, M, T = 1024, 50, 65536
+        hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=0.112, seed=1)
+        lh = hmm.log()
+        logA = jnp.asarray(lh.logA)
+        logB = jnp.asarray(lh.logB)
+        logPi = jnp.asarray(lh.logPi)
+        yd = jnp.asarray(np.asarray(y, np.int32))
+        fn = jax.jit(fused_decode)
+        p = fn(logA, logB, logPi, yd)
+        int(np.asarray(p[:4]).sum())
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            p = fn(logA, logB, logPi, yd)
+            int(np.asarray(p[:4]).sum())
+            walls.append(time.time() - t0)
+        wall = min(walls)
+        ck = np.asarray(checkpoint_decode_pallas(logA, logB, logPi, yd))
+        s1 = log_path_score_f64(lh.logA, lh.logB, lh.logPi,
+                                np.asarray(y), np.asarray(p))
+        s2 = log_path_score_f64(lh.logA, lh.logB, lh.logPi,
+                                np.asarray(y), ck)
+        return {"config": f"K{K}xT{T}", "wall_s": round(wall, 4),
+                "upd_per_s": (T - 1.0) * K * K / wall,
+                "bit_equal_vs_checkpoint": bool((np.asarray(p) == ck).all()),
+                "score_gap_f64": abs(s1 - s2)}
+
+    step("fused_longT_e2e", fused_longT_e2e)
     emit(step="DONE")
 
 
