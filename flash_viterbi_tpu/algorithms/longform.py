@@ -225,9 +225,20 @@ def flash_decode_long(logA, logB, logPi, y, num_segments: int = 4,
 
 def flash_decode_long_batch(logA, logB, logPi, ys, num_segments: int = 4,
                             group_steps: int = 4096,
-                            interpret: bool | str = "auto") -> np.ndarray:
-    """Batch driver: sequences decode one at a time (each is already a
-    multi-dispatch pipeline; lanes inside phase 2 amortize the kernel)."""
+                            interpret: bool | str = "auto",
+                            batched: bool | str = "auto") -> np.ndarray:
+    """Batch driver.  ``batched`` (default auto, on when the recompute
+    walk supports the shape) runs :func:`flash_decode_long_batched` — one
+    logA stream serves the whole batch (~Bs× less phase-1 HBM traffic);
+    otherwise sequences decode one at a time."""
+    ys = np.asarray(ys, np.int32)
+    if batched == "auto":
+        batched = ys.shape[0] > 1 and argmax_walk_supported(1, logA.shape[0])
+    if batched:
+        return flash_decode_long_batched(logA, logB, logPi, ys,
+                                         num_segments=num_segments,
+                                         group_steps=group_steps,
+                                         interpret=interpret)
     return np.stack([
         flash_decode_long(logA, logB, logPi, ys[b],
                           num_segments=num_segments,
@@ -271,3 +282,171 @@ def _build(num_segments: int = 4, group_steps: int = 4096,
                    lambda K, T, **kw: _flash_memory(
                        K=K, T=T, num_segments=num_segments, mode="pointer"),
                    jittable=False, batch_fn=batch_fn)
+
+
+def _walk_lane_split(deltas, logAT, state, valid, interpret,
+                     max_lanes: int) -> "jnp.ndarray":
+    """Walk N lanes as ceil(N/max_lanes) independent kernel calls (lanes
+    are independent; the walk kernel's VMEM bound caps lanes per call)."""
+    N = deltas.shape[1]
+    if N <= max_lanes:
+        return argmax_walk_pallas(deltas, logAT, state, valid=valid,
+                                  interpret=interpret)
+    outs = []
+    for n0 in range(0, N, max_lanes):
+        n1 = min(n0 + max_lanes, N)
+        v = None if valid is None else valid[:, n0:n1]
+        outs.append(argmax_walk_pallas(deltas[:, n0:n1], logAT,
+                                       state[n0:n1], valid=v,
+                                       interpret=interpret))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _max_walk_lanes(K: int) -> int:
+    n = 1
+    while n < 64 and argmax_walk_supported(2 * n, K):
+        n *= 2
+    return n
+
+
+def flash_decode_long_batched(logA, logB, logPi, ys, num_segments: int = 4,
+                              group_steps: int = 4096,
+                              interpret: bool | str = "auto") -> np.ndarray:
+    """Batched host-phased FLASH decode: ONE logA stream serves the batch.
+
+    ``flash_decode_long`` decodes sequences one at a time — at config-5
+    scale each sequence's phase 1 re-streams logA for 65535 steps (~86 s of
+    HBM time), so batch 8 pays that 8×.  Here:
+
+    * **phase A** (forward, checkpointing): all B lanes advance together
+      through grouped scans (logA read once per step for the whole batch);
+      only the carry at each group boundary is kept (B*K floats per group
+      — the √-checkpoint idea of ``checkpoint Viterbi.c`` at group
+      granularity).  Deltas of the group are discarded (their write
+      traffic is ~0.05% of the logA read traffic).
+    * **phase B** (backward windowed walk): groups replay in reverse —
+      re-scan group g from its checkpoint (recomputing the identical
+      deltas) and walk it with the recompute kernel, chaining lane states.
+      Total phase-1 work = 2 forward passes for the WHOLE batch instead
+      of one per sequence.
+    * **phase 2**: all B*N segments restart as one lane-batched grouped
+      pipeline (identical per-lane semantics).
+
+    Bit-identical to per-sequence ``flash_decode_long`` (pinned in
+    tests/test_longform.py): recomputing a group's deltas from its
+    checkpoint is the same deterministic computation, and lane batching
+    changes nothing per lane.  Every dispatch stays bounded.
+    """
+    if interpret == "auto":
+        interpret = jax.default_backend() != "tpu"
+    interpret = bool(interpret)
+    ys = np.asarray(ys, np.int32)
+    Bs, T = ys.shape
+    K = logA.shape[0]
+    logBT = jnp.transpose(logB)
+    logAT = jnp.transpose(logA)
+    N = int(num_segments)
+    if N < 1 or T < 2 * N:
+        N = max(1, min(N, T // 2)) or 1
+    mids = flash_midpoints(0, T - 1, N) if N > 1 else []
+    max_lanes = _max_walk_lanes(K)
+
+    # ---- phase A: batched forward, group checkpoints ---------------------
+    yd = jnp.asarray(ys)  # (Bs, T)
+    d = _d0_phase1_batch(logA, logBT, logPi, yd[:, 0], interpret)
+    bounds = []  # [(j0, n_steps)]
+    ckpts = []   # carry at each group START (before its steps)
+    j = 1
+    while j < T:
+        n = min(group_steps, T - j)
+        ckpts.append(d)
+        y_seg = jax.lax.dynamic_slice(yd, (0, j), (Bs, n))
+        d, deltas = _scan_group(logA, logBT, y_seg, d, n_steps=n,
+                                interpret=interpret, recompute=True)
+        # host-SYNC each group: the async dispatch queue otherwise holds
+        # every group's (n, Bs, K) delta buffer at once (16 x 2.15 GB at
+        # config-5 = HBM OOM); a scalar readback bounds in-flight buffers
+        float(np.asarray(d[0, 0]))
+        del deltas  # discarded: phase B recomputes each group on demand
+        bounds.append((j, n))
+        j += n
+    last = jnp.argmax(d, axis=1).astype(jnp.int32)  # (Bs,)
+
+    # ---- phase B: backward windowed recompute + walk ---------------------
+    state = last
+    pieces = []
+    for (j0, n), ck in zip(reversed(bounds), reversed(ckpts)):
+        y_seg = jax.lax.dynamic_slice(yd, (0, j0), (Bs, n))
+        _, deltas = _scan_group(logA, logBT, y_seg, ck, n_steps=n,
+                                interpret=interpret, recompute=True)
+        w = _walk_lane_split(deltas, logAT, state, None, interpret,
+                             max_lanes)  # (Bs, n + 1)
+        pieces.append(np.asarray(w[:, 1:]))
+        state = w[:, 0]
+    pieces.append(np.asarray(state)[:, None])
+    path1 = np.concatenate(pieces[::-1], axis=1)  # (Bs, T)
+    if not mids:
+        return path1.astype(np.int64)
+    anchors = path1[:, np.asarray(mids)]  # (Bs, N-1)
+    last_np = np.asarray(last)
+    del path1, pieces
+
+    # ---- phase 2: lane-batched forced-boundary segment restarts ----------
+    # Sequences run in sub-batches: holding every lane's delta parts at
+    # once would need Lmax*Bs*N*K*4 bytes (34 GB at config-5); a sub-batch
+    # bounds the held parts to ~6 GB.  Above ~8 lanes the scan is
+    # VPU-bound, so sub-batching costs no throughput.
+    starts, lens, Lmax = segment_layout(mids, T)
+    starts_np = np.asarray(starts)
+    lens_np = np.asarray(lens)
+    idx = np.minimum(starts_np[:, None] + np.arange(Lmax)[None, :], T - 1)
+    sub_seqs = max(1, int(6 * 1024**3 // (max(Lmax - 1, 1) * N * K * 4)))
+    out = np.zeros((Bs, T), np.int64)
+    for b0 in range(0, Bs, sub_seqs):
+        b1 = min(b0 + sub_seqs, Bs)
+        nb = b1 - b0
+        NL = nb * N
+        seg_sym = jnp.asarray(ys[b0:b1][:, idx].reshape(NL, Lmax))
+        entries = jnp.asarray(np.concatenate(
+            [np.zeros((nb, 1), np.int64), anchors[b0:b1]],
+            axis=1).reshape(NL), jnp.int32)
+        exits = jnp.asarray(np.concatenate(
+            [anchors[b0:b1], last_np[b0:b1, None]],
+            axis=1).reshape(NL), jnp.int32)
+        first = jnp.asarray(np.tile(np.arange(N) == 0, nb))
+        d = _d0_phase2(logA, logBT, logPi, entries, first, seg_sym[:, 0],
+                       interpret)
+        parts = []
+        valids = []
+        j = 1
+        while j < Lmax:
+            n = min(group_steps, Lmax - j)
+            y_seg = jax.lax.dynamic_slice(seg_sym, (0, j), (NL, n))
+            d, ptrs = _scan_group(logA, logBT, y_seg, d, n_steps=n,
+                                  interpret=interpret, recompute=True)
+            valid = jnp.asarray(np.tile(
+                (j + np.arange(n))[:, None] <= (lens_np - 1)[None, :],
+                (1, nb)))
+            parts.append(ptrs)
+            valids.append(valid)
+            j += n
+        state = exits
+        pieces = []
+        for pt, v in zip(reversed(parts), reversed(valids)):
+            w = _walk_lane_split(pt, logAT, state, v, interpret, max_lanes)
+            pieces.append(np.asarray(w[:, 1:]))
+            state = w[:, 0]
+        pieces.append(np.asarray(state)[:, None])
+        del parts
+        seg_paths = np.concatenate(pieces[::-1], axis=1)  # (NL, Lmax)
+        for b in range(nb):
+            for s in range(N):
+                L0 = starts_np[s]
+                out[b0 + b, L0:L0 + lens_np[s]] = \
+                    seg_paths[b * N + s, :lens_np[s]]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _d0_phase1_batch(logA, logBT, logPi, sym0, interpret: bool):
+    return logPi[None, :] + logBT[sym0]

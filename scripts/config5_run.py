@@ -23,7 +23,7 @@ Validation (all dispatch-bounded):
   transition anywhere in 65536 steps.
 
 Run:  nohup python scripts/config5_run.py > results/config5.log 2>&1 &
-(one TPU process at a time; ~30-40 min)
+(one TPU process at a time; ~10 min with the batched pipeline)
 """
 
 import json
@@ -38,7 +38,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from flash_viterbi_tpu.algorithms.longform import flash_decode_long
+from flash_viterbi_tpu.algorithms.longform import (flash_decode_long,
+                                                   flash_decode_long_batched)
 from flash_viterbi_tpu.models.generate import make_sparse_hmm
 from flash_viterbi_tpu.oracle.validate import (
     dp_divergence_tolerance_f64,
@@ -66,24 +67,20 @@ def main():
                      + [rng.randint(0, M, size=T).astype(np.int32)
                         for _ in range(BATCH - 1)])
 
-    paths = np.zeros((BATCH, T), np.int64)
-    walls = []
-    for b in range(BATCH):
-        t0 = time.time()
-        paths[b] = flash_decode_long(logA, logB, logPi, ys_np[b],
-                                     num_segments=N_SEGMENTS,
-                                     group_steps=GROUP)
-        walls.append(time.time() - t0)
-        print(json.dumps({"seq": b, "wall_s": round(walls[-1], 1)}),
-              flush=True)
-
-    wall = sum(walls)
+    # batched pipeline: ONE logA stream serves all 8 sequences' phase 1
+    # (checkpoint + backward recompute walk), lane-batched phase 2 —
+    # bit-identical to per-sequence decodes (tests/test_longform.py)
+    t0 = time.time()
+    paths = flash_decode_long_batched(logA, logB, logPi, ys_np,
+                                      num_segments=N_SEGMENTS,
+                                      group_steps=GROUP)
+    wall = time.time() - t0
+    print(json.dumps({"batched_wall_s": round(wall, 1)}), flush=True)
     updates = 2.0 * BATCH * (T - 1) * K * K  # phase 1 + phase 2 both run
     eff_updates = 1.0 * BATCH * (T - 1) * K * K
     print(json.dumps({
         "config": f"batch{BATCH}xK{K}xT{T}",
         "wall_s": wall,
-        "wall_s_steady": sum(walls[1:]) / max(len(walls) - 1, 1) * BATCH,
         "kernel_updates_per_s": updates / wall,
         "decode_updates_per_s": eff_updates / wall,
         "dispatch_group_steps": GROUP,

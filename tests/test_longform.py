@@ -70,3 +70,25 @@ def test_flash_long_registered():
     ref = fvt.decode(hmm, y, algorithm="flash", num_segments=4, warmup=False)
     np.testing.assert_array_equal(np.asarray(r.path), np.asarray(ref.path))
     assert r.memory_bytes == ref.memory_bytes
+
+
+def test_long_batched_matches_per_sequence():
+    """The batched pipeline (shared phase-1 stream, checkpoint+recompute
+    walk, lane-batched phase 2) must be BIT-identical to per-sequence
+    flash_decode_long — and therefore to flash pointer mode."""
+    from flash_viterbi_tpu.algorithms.longform import flash_decode_long_batched
+
+    hmm, y0 = fvt.make_sparse_hmm(K=96, M=10, T=64, prob=0.25, seed=11)
+    logA, logB, logPi = _tables(hmm)
+    rng = np.random.RandomState(3)
+    ys = np.stack([np.asarray(y0, np.int32)]
+                  + [rng.randint(0, 10, 64).astype(np.int32)
+                     for _ in range(3)])
+    for N, group in [(4, 16), (2, 13), (1, 29)]:
+        got = flash_decode_long_batched(logA, logB, logPi, ys,
+                                        num_segments=N, group_steps=group)
+        for b in range(4):
+            ref = flash_decode_long(logA, logB, logPi, ys[b],
+                                    num_segments=N, group_steps=group)
+            np.testing.assert_array_equal(ref, got[b],
+                                          err_msg=f"N={N} g={group} b={b}")
