@@ -58,9 +58,21 @@ TINY_T = 32
 #: must be host-phased (``flash_long``): some environments bound a single
 #: device dispatch (the axon tunnel kills ~2 min dispatches — measured,
 #: results/ROUND3.md); 60 s of headroom at the measured ~190 G upd/s
-#: dense-kernel rate.  Override via FVT_DISPATCH_CEILING_S (0 = no bound).
+#: dense-kernel rate.  The bound is ENVIRONMENT-SPECIFIC, so the default
+#: is off (0 = unbounded) on a normal TPU deployment and 60 s only when
+#: the axon tunnel is detected; override via FVT_DISPATCH_CEILING_S.
+def _default_ceiling() -> str:
+    import os
+
+    # the tunnel exports these markers (JAX_PLATFORMS=axon + remote compile)
+    axon = (os.environ.get("JAX_PLATFORMS", "") == "axon"
+            or os.environ.get("PALLAS_AXON_REMOTE_COMPILE"))
+    return "60" if axon else "0"
+
+
 DISPATCH_CEILING_S = float(
-    __import__("os").environ.get("FVT_DISPATCH_CEILING_S", "60"))
+    __import__("os").environ.get("FVT_DISPATCH_CEILING_S",
+                                 _default_ceiling()))
 _DENSE_CELLS_PER_S = 1.9e11  # measured kernel rate, K=1024..16384 (SCALE.md)
 
 

@@ -304,7 +304,7 @@ def _walk_lane_split(deltas, logAT, state, valid, interpret,
 
 def _max_walk_lanes(K: int) -> int:
     n = 1
-    while n < 64 and argmax_walk_supported(2 * n, K):
+    while n < 128 and argmax_walk_supported(2 * n, K):
         n *= 2
     return n
 

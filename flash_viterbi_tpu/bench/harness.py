@@ -78,6 +78,10 @@ def marginal_time(make_chain, k1: int = 1, k2: int = 5, reps: int = 3) -> float:
 # CSV never has an empty parity cell).
 _MIRROR_MAX_K = {"sieve_mp": 1024, "sieve_bs": 512, "sieve_bs_mp": 512,
                  "sieve": 512, "sieve_dag": 256}
+# Trellis-cell bound for the exact-path numpy oracle (vanilla family):
+# ~4e9 cells (headline K=3965/T=256) takes seconds; K=16384/T=256 (6.9e10)
+# takes minutes — those rows use the cross-pipeline self-witness instead.
+_ORACLE_MAX_CELLS = 2e10
 
 
 def _parity(cfg, hmm, y, path, dec, tables):
@@ -95,7 +99,14 @@ def _parity(cfg, hmm, y, path, dec, tables):
     bw = cfg.beam_width or 64
     if alg == "auto" and cfg.beam_width is not None:
         alg = "flash_bs"  # auto routes beamed problems to the beam family
-    if alg in ("vanilla", "checkpoint", "flash", "fused", "auto"):
+    if (alg in ("vanilla", "checkpoint", "flash", "fused", "auto")
+            and cfg.K * cfg.K * cfg.T > _ORACLE_MAX_CELLS):
+        # the numpy mirror is infeasible (minutes of host time) — fall
+        # through to the generic cross-pipeline witness below (same
+        # algorithm, Pallas vs pure XLA, labelled "self:") so no measured
+        # row ever ships with an empty parity cell (VERDICT r3 item 7)
+        pass
+    elif alg in ("vanilla", "checkpoint", "flash", "fused", "auto"):
         want = oracle.vanilla(hmm.A, hmm.B, hmm.Pi, y)
         if bool((path == want).all()):
             return True
@@ -271,10 +282,15 @@ def _run_one(cfg: RunConfig, fallback: bool) -> dict:
         runner = lambda *a: out  # reuse the last timed run's result
     path = np.asarray(runner(logA, logB, logPi0, yd))[: cfg.T]
 
-    parity = ""
     if cfg.check_parity:
         parity = _parity(cfg, hmm, y, path, dec,
                          (logA, logB, logPi0, yd))
+    else:
+        # never an empty cell: a row without a witness must say so
+        # explicitly (VERDICT r3 item 7) — and measurement scripts should
+        # not pass check_parity=False anymore now that the oracle-cell
+        # guard routes huge shapes to the self-witness automatically
+        parity = "skipped"
 
     return {
         "timestamp": datetime.now().strftime("%Y%m%d_%H%M%S"),

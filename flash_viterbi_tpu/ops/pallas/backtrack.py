@@ -184,97 +184,80 @@ def backtrack_pallas(ptrs: jax.Array, last_state: jax.Array,
 # ---------------------------------------------------------------------------
 # Recompute-argmax walk: backtrack over a carry HISTORY instead of a pointer
 # table (pairs with ops.pallas.maxplus.maxplus_scan_deltas).  Per walked
-# step the argmax is recomputed from delta_t plus ONE logA column (fetched
-# as a row of the transposed table with the aligned 8-row-block DMA) —
-# SURVEY §7's "recompute-argmax-on-backtrack" trade: the N-lane forward
-# scan drops its per-cell compare/select chain (the VPU bottleneck of the
-# batched decode) and the walk pays only O(T*N*K) recompute work on the
-# path itself.  Bit-identical pointers: the walk's sum delta_t[k] +
-# logAT[s, k] is the same fp32 pair the forward argmax compared, and
+# step the argmax is recomputed from delta_t plus ONE logA column — SURVEY
+# §7's "recompute-argmax-on-backtrack" trade: the N-lane forward scan drops
+# its per-cell compare/select chain (the VPU bottleneck of the batched
+# decode) and the walk pays only O(T*N*K) recompute work on the path
+# itself.  Bit-identical pointers: the walk's sum delta_t[k] + logAT[s, k]
+# is the same fp32 pair the forward argmax compared, and
 # lowest-index-on-ties matches the scan kernel's cross-tile contract.
+#
+# Column fetch layout (round 4): logAT is passed as (K, K//128, 128) —
+# every transposed row s is its own tile-aligned (K//128, 128) slab, so a
+# dynamic leading-index DMA ``logAT_hbm.at[s]`` moves exactly K*4 bytes
+# (round 3 used aligned 8-row blocks of the (K//8, 8, K) layout = 8x the
+# traffic, because single-row slices of an (8,128)-tiled 2-D memref do not
+# lower).  Lanes run as ``fori_loop``s (issue-all then wait+compute) so
+# compile time and code size are N-independent — N up to 128 lanes
+# compiles where round 3's unrolled per-lane chains capped at 32.
 # ---------------------------------------------------------------------------
 
 _WALK_C = 8  # rows per chunk (int32/f32 sublane tile)
 _NEG = float("-inf")  # python scalar: kernels may not capture traced consts
 
 
-def _walk_kernel(last_ref, logAT8_hbm, deltas_ref, path_ref, states_s,
-                 rows8_buf, sems, *, C: int, N: int, K: int):
+def _walk_kernel(last_ref, valid_ref, logAT_hbm, deltas_ref, path_ref,
+                 states_s, rows_buf, sems, *, C: int, N: int, K: int,
+                 masked: bool):
+    """DMA variant.  deltas_ref block: (C, N, S, 128) f32 (S = K // 128);
+    logAT_hbm: (K, S, 128) slabs in HBM; rows_buf: (N, S, 128) landing
+    buffers.  ``masked``: an invalid (row, lane) keeps the lane state
+    unchanged — the semantics of the stored-pointer path's identity rows
+    (``flash.decode_segments_pointer_pallas``)."""
     g = pl.program_id(0)
+    S = K // 128
 
     @pl.when(g == 0)
     def _():
-        for n in range(N):
+        def cp(n, c):
             states_s[0, n] = last_ref[0, n]
+            return c
 
-    laneK = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, K), 0)
+        jax.lax.fori_loop(0, N, cp, 0)
+
+    iota_g = (jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0) * 128
+              + jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1))
     laneN = jax.lax.broadcasted_iota(jnp.int32, (N, C), 0)
     cpos = jax.lax.broadcasted_iota(jnp.int32, (N, C), 1)
-    acc = jnp.zeros((N, C), jnp.int32)
 
-    for i in range(C):
+    def row(i, acc):
         r = C - 1 - i
-        # issue all lanes' column fetches, then wait + compute (the row
-        # chain is sequential; lanes overlap their DMA latency)
-        for n in range(N):
+
+        def issue(n, c):
             s = jnp.minimum(states_s[0, n], K - 1)  # contract: always < K
-            pltpu.make_async_copy(logAT8_hbm.at[s // 8],
-                                  rows8_buf.at[n], sems.at[n]).start()
-        for n in range(N):
+            pltpu.make_async_copy(logAT_hbm.at[s], rows_buf.at[n],
+                                  sems.at[n]).start()
+            return c
+
+        jax.lax.fori_loop(0, N, issue, 0)
+
+        def lane(n, acc):
             s = jnp.minimum(states_s[0, n], K - 1)
-            pltpu.make_async_copy(logAT8_hbm.at[s // 8],
-                                  rows8_buf.at[n], sems.at[n]).wait()
-            col = jnp.max(jnp.where(sub == s % 8, rows8_buf[n],
-                                    jnp.float32(_NEG)), axis=0, keepdims=True)
-            tmp = deltas_ref[pl.ds(r, 1), :, :][0][n:n + 1, :] + col  # (1, K)
+            pltpu.make_async_copy(logAT_hbm.at[s], rows_buf.at[n],
+                                  sems.at[n]).wait()
+            dr = deltas_ref[pl.ds(r, 1), pl.ds(n, 1)][0, 0]  # (S, 128)
+            tmp = dr + rows_buf[pl.ds(n, 1)][0]
             m = jnp.max(tmp)
-            idx = jnp.min(jnp.where(tmp == m, laneK, K))
+            idx = jnp.min(jnp.where(tmp == m, iota_g, K))
+            if masked:
+                idx = jnp.where(valid_ref[r, n] > 0, idx, s)
             acc = jnp.where((laneN == n) & (cpos == r), idx, acc)
             states_s[0, n] = idx
+            return acc
 
-    path_ref[0] = acc
+        return jax.lax.fori_loop(0, N, lane, acc)
 
-
-def _walk_kernel_masked(last_ref, valid_ref, logAT8_hbm, deltas_ref,
-                        path_ref, states_s, rows8_buf, sems,
-                        *, C: int, N: int, K: int):
-    """Masked variant (ragged segments): an invalid (row, lane) keeps the
-    lane state unchanged — the semantics of the stored-pointer path's
-    identity rows (``flash.decode_segments_pointer_pallas``)."""
-    g = pl.program_id(0)
-
-    @pl.when(g == 0)
-    def _():
-        for n in range(N):
-            states_s[0, n] = last_ref[0, n]
-
-    laneK = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, K), 0)
-    laneN = jax.lax.broadcasted_iota(jnp.int32, (N, C), 0)
-    cpos = jax.lax.broadcasted_iota(jnp.int32, (N, C), 1)
-    acc = jnp.zeros((N, C), jnp.int32)
-
-    for i in range(C):
-        r = C - 1 - i
-        for n in range(N):
-            s = jnp.minimum(states_s[0, n], K - 1)
-            pltpu.make_async_copy(logAT8_hbm.at[s // 8],
-                                  rows8_buf.at[n], sems.at[n]).start()
-        for n in range(N):
-            s = jnp.minimum(states_s[0, n], K - 1)
-            pltpu.make_async_copy(logAT8_hbm.at[s // 8],
-                                  rows8_buf.at[n], sems.at[n]).wait()
-            col = jnp.max(jnp.where(sub == s % 8, rows8_buf[n],
-                                    jnp.float32(_NEG)), axis=0, keepdims=True)
-            tmp = deltas_ref[pl.ds(r, 1), :, :][0][n:n + 1, :] + col  # (1, K)
-            m = jnp.max(tmp)
-            idx = jnp.min(jnp.where(tmp == m, laneK, K))
-            idx = jnp.where(valid_ref[r, n] > 0, idx, s)
-            acc = jnp.where((laneN == n) & (cpos == r), idx, acc)
-            states_s[0, n] = idx
-
-    path_ref[0] = acc
+    path_ref[0] = jax.lax.fori_loop(0, C, row, jnp.zeros((N, C), jnp.int32))
 
 
 def _walk_kernel_resident(last_ref, logAT_ref, deltas_ref, path_ref,
@@ -286,33 +269,60 @@ def _walk_kernel_resident(last_ref, logAT_ref, deltas_ref, path_ref,
 
     @pl.when(g == 0)
     def _():
-        for n in range(N):
+        def cp(n, c):
             states_s[0, n] = last_ref[0, n]
+            return c
+
+        jax.lax.fori_loop(0, N, cp, 0)
 
     laneK = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     laneN = jax.lax.broadcasted_iota(jnp.int32, (N, C), 0)
     cpos = jax.lax.broadcasted_iota(jnp.int32, (N, C), 1)
-    acc = jnp.zeros((N, C), jnp.int32)
 
-    for i in range(C):
+    def row(i, acc):
         r = C - 1 - i
-        for n in range(N):
+
+        def lane(n, acc):
             s = jnp.minimum(states_s[0, n], K - 1)
             col = logAT_ref[pl.ds(s, 1), :]  # (1, K) dynamic sublane read
-            tmp = deltas_ref[pl.ds(r, 1), :, :][0][n:n + 1, :] + col
+            dr = deltas_ref[pl.ds(r, 1), pl.ds(n, 1), :][0]  # (1, K)
+            tmp = dr + col
             m = jnp.max(tmp)
             idx = jnp.min(jnp.where(tmp == m, laneK, K))
             acc = jnp.where((laneN == n) & (cpos == r), idx, acc)
             states_s[0, n] = idx
+            return acc
 
-    path_ref[0] = acc
+        return jax.lax.fori_loop(0, N, lane, acc)
+
+    path_ref[0] = jax.lax.fori_loop(0, C, row, jnp.zeros((N, C), jnp.int32))
+
+
+def _xla_walk_rows(rows, logAT, vrows, state):
+    """Walk `rows` (R, N, K) backwards in plain XLA (the < C ragged tail,
+    and the whole walk when K is not lane-aligned).  Returns (state before
+    the rows, states after each row: tail[i] == path[row0 + 1 + i])."""
+    def step(s, x):
+        dr, v = x
+        t = dr + logAT[s]  # (N, K)
+        ns = jnp.argmax(t, axis=1).astype(jnp.int32)
+        if v is not None:
+            ns = jnp.where(v > 0, ns, s)
+        return ns, s
+
+    if vrows is None:
+        s, trail = jax.lax.scan(lambda s, dr: step(s, (dr, None)),
+                                state, rows[::-1])
+    else:
+        s, trail = jax.lax.scan(step, state, (rows[::-1], vrows[::-1]))
+    return s, trail[::-1]
 
 
 def argmax_walk_supported(N: int, K: int) -> bool:
-    """VMEM bound: double-buffered (C, N, K) delta chunks + (N, 8, K)
-    aligned column blocks must fit comfortably."""
+    """VMEM bound: double-buffered (C, N, K) delta chunks + the (N, K)
+    single-slab column landing buffers must fit comfortably."""
     return (K % 128 == 0
-            and (2 * _WALK_C * N * K + 8 * N * K + 16 * N) * 4
+            and (2 * _WALK_C * N * K + N * K + 16 * N) * 4
             <= 14 * 1024 * 1024)
 
 
@@ -340,24 +350,14 @@ def argmax_walk_pallas(deltas: jax.Array, logAT: jax.Array,
     valid_i = None if valid is None else valid.astype(jnp.int32)
 
     def xla_rows(rows, vrows, state):
-        """Walk `rows` (R, N, K) backwards in plain XLA (the < C ragged
-        tail).  Returns (state before the rows, states after each row:
-        tail[i] == path[row0 + 1 + i])."""
-        def step(s, x):
-            dr, v = x
-            t = dr + logAT[s]  # (N, K)
-            ns = jnp.argmax(t, axis=1).astype(jnp.int32)
-            if v is not None:
-                ns = jnp.where(v > 0, ns, s)
-            return ns, s
+        return _xla_walk_rows(rows, logAT, vrows, state)
 
-        xs = (rows[::-1], None if vrows is None else vrows[::-1])
-        if vrows is None:
-            s, trail = jax.lax.scan(lambda s, dr: step(s, (dr, None)),
-                                    state, rows[::-1])
-        else:
-            s, trail = jax.lax.scan(step, state, xs)
-        return s, trail[::-1]
+    if K % 128:
+        # the single-slab DMA layout needs lane-aligned K; gated callers
+        # (argmax_walk_supported) never get here — direct small-K calls
+        # walk on the exact XLA reverse scan instead
+        state, tail = _xla_walk_rows(deltas, logAT, valid_i, last)
+        return jnp.concatenate([state[:, None], jnp.transpose(tail)], axis=1)
 
     C = _WALK_C
     G = Tm // C
@@ -378,6 +378,7 @@ def argmax_walk_pallas(deltas: jax.Array, logAT: jax.Array,
     # resident route: logAT in VMEM kills the per-row DMA chain entirely
     resident = (valid_i is None
                 and (K * K + 3 * _WALK_C * N * K) * 4 <= 12 * 1024 * 1024)
+    S = K // 128
     if resident:
         kernel = functools.partial(_walk_kernel_resident, C=C, N=N, K=K)
         in_specs = [
@@ -388,31 +389,24 @@ def argmax_walk_pallas(deltas: jax.Array, logAT: jax.Array,
         ]
         args = (state[None, :], logAT, deltas[:G * C])
         scratch = [pltpu.SMEM((1, N), jnp.int32)]
-    elif valid_i is None:
-        kernel = functools.partial(_walk_kernel, C=C, N=N, K=K)
-        in_specs = [
-            pl.BlockSpec((1, N), lambda g: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # logAT8 stays in HBM
-            pl.BlockSpec((C, N, K), lambda g: (G - 1 - g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        args = (state[None, :], logAT.reshape(K // 8, 8, K), deltas[:G * C])
     else:
-        kernel = functools.partial(_walk_kernel_masked, C=C, N=N, K=K)
+        kernel = functools.partial(_walk_kernel, C=C, N=N, K=K,
+                                   masked=valid_i is not None)
         in_specs = [
             pl.BlockSpec((1, N), lambda g: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((C, N), lambda g: (G - 1 - g, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((C, N, K), lambda g: (G - 1 - g, 0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),  # logAT slabs stay in HBM
+            pl.BlockSpec((C, N, S, 128), lambda g: (G - 1 - g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        args = (state[None, :], valid_i[:G * C],
-                logAT.reshape(K // 8, 8, K), deltas[:G * C])
-    if not resident:
+        v = (jnp.ones((G * C, N), jnp.int32) if valid_i is None
+             else valid_i[:G * C])
+        args = (state[None, :], v, logAT.reshape(K, S, 128),
+                deltas[:G * C].reshape(G * C, N, S, 128))
         scratch = [
             pltpu.SMEM((1, N), jnp.int32),
-            pltpu.VMEM((N, 8, K), jnp.float32),
+            pltpu.VMEM((N, S, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((N,)),
         ]
     out = pl.pallas_call(
@@ -425,12 +419,12 @@ def argmax_walk_pallas(deltas: jax.Array, logAT: jax.Array,
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=3 * G * C * N * K,
-            bytes_accessed=G * C * N * (K + 8 * K) * 4,
+            bytes_accessed=G * C * N * (K + K) * 4,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 100 * 1024 * 1024,
-                (2 * C * N * K + 8 * N * K) * 4 + 8 * 1024 * 1024)),
+                (2 * C * N * K + N * K) * 4 + 8 * 1024 * 1024)),
         interpret=interpret,
     )(*args)
     walked = jnp.moveaxis(out, 1, 0).reshape(N, G * C)  # path[0..G*C-1]

@@ -7,16 +7,21 @@ not bandwidth-bound: per trellis step it pays a row gather (B rows =
 as separate fused loops with XLA's per-op scheduling — ~10-14 us/step
 measured.  This kernel keeps the entire time loop on-chip:
 
-* grid = (T-1,); TPU grids run sequentially, so the beam (values in VMEM,
+* grid = (T-1,); TPU grids run sequentially, so the beam (values and
   state ids in SMEM) carries across steps in scratch;
-* the B beam rows of ``logA`` stay in HBM (``memory_space=ANY``) and are
-  fetched per step with B concurrent dynamic DMAs of tiling-ALIGNED
-  8-row blocks (single-row slices of a large (8,128)-tiled HBM memref do
-  not lower), the wanted row selected on the VPU — 8*B*K*4 bytes/step of
-  HBM traffic vs the dense kernel's K*K*4 (K/(8B) times less);
-* top-B selection is B iterations of masked max + lowest-index extract
-  (exactly ``jax.lax.top_k``'s descending, index-stable order — the
-  "taken" mask keeps indices distinct even among -inf ties);
+* the B beam rows of ``logA`` stay in HBM and are fetched per step with B
+  concurrent single-row DMAs: ``logA`` arrives reshaped (K, K//128, 128)
+  so every row is its own tile-aligned (K//128, 128) slab and a dynamic
+  leading-index DMA moves exactly K*4 bytes.  (Round 3 used the
+  (K//8, 8, K) layout — aligned 8-row blocks, 8x the traffic, because
+  single-row slices of an (8,128)-tiled 2-D memref do not lower; the
+  slab layout removes that 8x, which made the round-3 kernel LOSE to
+  XLA 10.7 vs 4.75 ms at K=3965/B=64.)
+* the (B, K) score max and the top-B extraction run in the same
+  (K//128, 128) lane-block form with a global index iota — identical
+  lowest-index tie semantics as ``jax.lax.top_k``'s descending,
+  index-stable order (the "taken" mask keeps indices distinct even among
+  -inf ties);
 * per-step outputs are the beam history (T-1, B) state ids and the
   winning-slot pointers (T-1, B) — the O(T*B) beam memory contract;
 * optionally, FLASH-BS's P anchor planes ((P, B) int32: state at anchor
@@ -43,69 +48,83 @@ NEG = float("-inf")  # python scalar: kernels may not capture traced constants
 def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
                       emits_ref, logA_hbm,
                       hist_ref, slots_ref, planes_ref,
-                      vals_s, states_s, rows8_buf, rows_buf, prev_sv,
+                      vals_s, states_s, rows_buf, prev_sv,
                       planes_s, sems,
                       *, B: int, K: int, P: int):
     t = pl.program_id(0)
+    S = K // 128
 
     @pl.when(t == 0)
     def _():
-        vals_s[:] = vals0_ref[:]            # (B, 1) f32
-        # SMEM moves must be scalar (Mosaic rejects vector SMEM loads);
-        # unrolled B scalar copies, executed once at t == 0 only
-        for b in range(B):
+        # SMEM moves must be scalar (Mosaic rejects vector SMEM loads)
+        def cp(b, c):
             states_s[0, b] = states0_ref[0, b]
+            vals_s[0, b] = vals0_ref[0, b]
+            return c
+
+        jax.lax.fori_loop(0, B, cp, 0)
         prev_sv[:] = states0v_ref[:]        # (1, B) int32 VMEM
         if P:
             planes_s[:] = jnp.full((P, B), -1, jnp.int32)
 
-    # fetch the B beam rows concurrently.  A single-row slice of a large
-    # (8,128)-tiled HBM memref does not lower ("slice shape along dim 0
-    # must be aligned to tiling (8)") — logA arrives reshaped (K//8, 8, K)
-    # so each DMA moves one ALIGNED 8-row block, and the wanted row is
-    # selected on the VPU (8x the minimum DMA traffic, still K/8th of the
-    # dense kernel's).
-    for b in range(B):
-        pltpu.make_async_copy(logA_hbm.at[states_s[0, b] // 8],
-                              rows8_buf.at[b], sems.at[b]).start()
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, K), 0)
-    for b in range(B):
-        pltpu.make_async_copy(logA_hbm.at[states_s[0, b] // 8],
-                              rows8_buf.at[b], sems.at[b]).wait()
-        r = states_s[0, b] % 8
-        rows_buf[pl.ds(b, 1), :] = jnp.max(
-            jnp.where(sub == r, rows8_buf[b], NEG), axis=0, keepdims=True)
+    # fetch the B beam rows concurrently (single tile-aligned slab each)
+    def issue(b, c):
+        pltpu.make_async_copy(logA_hbm.at[states_s[0, b]],
+                              rows_buf.at[b], sems.at[b]).start()
+        return c
 
-    tmp = vals_s[:] + rows_buf[:]         # (B, K)
-    maxv = jnp.max(tmp, axis=0, keepdims=True)          # (1, K)
-    iotaB = jax.lax.broadcasted_iota(jnp.int32, (B, K), 0)
-    slot = jnp.min(jnp.where(tmp == maxv, iotaB, B), axis=0, keepdims=True)
-    full = maxv + emits_ref[0]            # (1, K)
+    jax.lax.fori_loop(0, B, issue, 0)
+
+    iota_g = (jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0) * 128
+              + jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1))
+
+    # incremental max over beam slots: strict '>' keeps the LOWEST slot on
+    # ties — same winner as round 3's jnp.min(where(tmp == maxv, iotaB, B))
+    def fold(b, carry):
+        maxv, slot = carry
+        pltpu.make_async_copy(logA_hbm.at[states_s[0, b]],
+                              rows_buf.at[b], sems.at[b]).wait()
+        cand = rows_buf[pl.ds(b, 1)][0] + vals_s[0, b]  # (S, 128)
+        # strict '>' keeps the lowest slot on ties; the == arm only fires
+        # while slot is still unset (B), so an all--inf column reports
+        # slot 0 exactly like the explicit min-index extraction did
+        upd = (cand > maxv) | ((cand == maxv) & (slot == B))
+        return jnp.where(upd, cand, maxv), jnp.where(upd, b, slot)
+
+    maxv, slot = jax.lax.fori_loop(
+        0, B, fold,
+        (jnp.full((S, 128), NEG, jnp.float32),
+         jnp.full((S, 128), B, jnp.int32)))
+    full = maxv + emits_ref[0]            # (S, 128)
 
     # top-B extraction: masked max + lowest-index, distinct via `taken`
-    iotaK = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     iotaB1 = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
-    taken = jnp.zeros((1, K), jnp.bool_)
-    sv = jnp.zeros((1, B), jnp.int32)
-    slv = jnp.zeros((1, B), jnp.int32)
-    vv = jnp.zeros((1, B), jnp.float32)
-    for b in range(B):
-        masked = jnp.where(taken, NEG, full)
+
+    def pick(b, carry):
+        # `taken` carried as int32: a bool-vector scf.for carry does not
+        # legalize in Mosaic (i1 mask packing) — measured on hw this round
+        taken, sv, slv = carry
+        free = taken == 0
+        masked = jnp.where(free, full, NEG)
         m = jnp.max(masked)
-        cand = jnp.where(jnp.logical_and(masked == m,
-                                         jnp.logical_not(taken)), iotaK, K)
+        cand = jnp.where(jnp.logical_and(masked == m, free), iota_g, K)
         idx = jnp.min(cand)
-        taken = jnp.logical_or(taken, iotaK == idx)
+        taken = jnp.where(iota_g == idx, 1, taken)
         states_s[0, b] = idx
+        vals_s[0, b] = m
         # winning old-beam slot of this new beam entry: slot[idx]
-        sb = jnp.min(jnp.where(iotaK == idx, slot, B))
+        sb = jnp.min(jnp.where(iota_g == idx, slot, B))
         sv = jnp.where(iotaB1 == b, idx, sv)
         slv = jnp.where(iotaB1 == b, sb, slv)
-        vv = jnp.where(iotaB1 == b, m, vv)
+        return taken, sv, slv
+
+    _, sv, slv = jax.lax.fori_loop(
+        0, B, pick,
+        (jnp.zeros((S, 128), jnp.int32),
+         jnp.zeros((1, B), jnp.int32), jnp.zeros((1, B), jnp.int32)))
     # one vector store each (per-lane scalar VMEM stores don't lower)
     hist_ref[0] = sv
     slots_ref[0] = slv
-    vals_s[:] = jnp.transpose(vv)
 
     if P:
         # anchor-plane recurrence (flash_bs._phase1_beam): record the old
@@ -138,6 +157,16 @@ def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
 def _call(logA, emits, vals0, states0, prop, P: int, interpret: bool):
     Tm, K = emits.shape
     B = vals0.shape[0]
+    if K % 128:
+        # pad the state space to the lane tile: padded states score -inf
+        # everywhere, and a real index (even an -inf tie) always has a
+        # lower index than a padded one, so the top-B never admits padding
+        Kp = -(-K // 128) * 128
+        logA = jnp.pad(logA, ((0, Kp - K), (0, Kp - K)),
+                       constant_values=NEG)
+        emits = jnp.pad(emits, ((0, 0), (0, Kp - K)), constant_values=NEG)
+        K = Kp
+    S = K // 128
     Pp = max(P, 1)
     kernel = functools.partial(_beam_scan_kernel, B=B, K=K, P=P)
     # time-major inputs/outputs use 3-D (1, x, y) blocks whose LAST TWO
@@ -147,14 +176,14 @@ def _call(logA, emits, vals0, states0, prop, P: int, interpret: bool):
         kernel,
         grid=(Tm,),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, B), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Pp, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, S, 128), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # logA stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # logA slabs stay in HBM
         ],
         out_specs=[
             pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -167,22 +196,21 @@ def _call(logA, emits, vals0, states0, prop, P: int, interpret: bool):
             jax.ShapeDtypeStruct((Pp, B), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, 1), jnp.float32),   # beam values
-            pltpu.SMEM((1, B), jnp.int32),     # beam state ids
-            pltpu.VMEM((B, 8, K), jnp.float32),  # aligned 8-row DMA blocks
-            pltpu.VMEM((B, K), jnp.float32),   # selected beam rows
-            pltpu.VMEM((1, B), jnp.int32),     # previous beam states (vector)
-            pltpu.VMEM((Pp, B), jnp.int32),    # anchor planes
+            pltpu.SMEM((1, B), jnp.float32),     # beam values
+            pltpu.SMEM((1, B), jnp.int32),       # beam state ids
+            pltpu.VMEM((B, S, 128), jnp.float32),  # single-row DMA slabs
+            pltpu.VMEM((1, B), jnp.int32),       # previous beam states
+            pltpu.VMEM((Pp, B), jnp.int32),      # anchor planes
             pltpu.SemaphoreType.DMA((B,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * Tm * B * K,
-            bytes_accessed=Tm * (8 * B * K * 4 + K * 4),
+            bytes_accessed=Tm * (B * K * 4 + K * 4),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(vals0[:, None], states0[None, :], states0[None, :],
-      prop[:, :, None], emits[:, None, :], logA.reshape(K // 8, 8, K))
+    )(vals0[None, :], states0[None, :], states0[None, :],
+      prop[:, :, None], emits.reshape(Tm, S, 128), logA.reshape(K, S, 128))
     return hist[:, 0, :], slots[:, 0, :], planes
 
 
@@ -237,7 +265,7 @@ def beam_scan_planes(logA, emits, vals0, states0, prop, interpret: bool = False)
 
 
 def beam_kernel_supported(K: int, B: int) -> bool:
-    """Lane-gather and VMEM bounds: beam fits one vreg's lanes; row DMAs
-    need lane-aligned K; the (B, 8, K) aligned-block buffer + (B, K) row
-    buffer must fit VMEM comfortably (~16 MB/core)."""
-    return B <= 128 and K % 128 == 0 and 9 * B * K * 4 <= 12 * 1024 * 1024
+    """Lane-gather and VMEM bounds: beam fits one vreg's lanes; single-slab
+    row DMAs need lane-aligned K; the (B, K//128, 128) landing buffer must
+    fit VMEM comfortably (~16 MB/core)."""
+    return B <= 128 and K % 128 == 0 and B * K * 4 <= 12 * 1024 * 1024

@@ -99,6 +99,37 @@ def build_and_run(name: str, workdir: str, K: int, M: int, T: int, prob: float,
     return np.array([int(x) for x in m.group(1).split()], dtype=np.int64)
 
 
+def build_and_run_timed(name: str, workdir: str, K: int, M: int, T: int,
+                        prob: float, data_path: str,
+                        threads: int | None = None, beam: int | None = None,
+                        timeout: int = 1200) -> float:
+    """Compile + run the reference program and return its own reported
+    decode time (the ``time: %lf`` line, which excludes data loading —
+    src/FLASH_Viterbi_multithread.c:373-378)."""
+    src_text = patch_source(SOURCES[name], K, M, T, prob, data_path,
+                            threads, beam)
+    cfile = os.path.join(workdir, f"{name}.c")
+    binfile = os.path.join(workdir, f"{name}.bin")
+    with open(cfile, "w") as f:
+        f.write(src_text)
+    cmd = ["gcc", "-O2", "-pthread", cfile, "-o", binfile, "-lm",
+           "-Wl,-z,stack-size=268435456"]
+    if name in NEEDS_GLIB:
+        if have_real_glib():
+            flags = subprocess.run(
+                ["pkg-config", "--cflags", "--libs", "glib-2.0"],
+                capture_output=True, text=True, check=True)
+            cmd = cmd[:-2] + flags.stdout.split() + cmd[-2:]
+        else:
+            cmd.insert(1, f"-I{_GLIB_SHIM}")
+    subprocess.run(cmd, check=True, capture_output=True)
+    out = subprocess.run([binfile], capture_output=True, text=True,
+                         check=True, timeout=timeout).stdout
+    tm = re.search(r"time: ([\d.eE+-]+)", out)
+    assert tm, f"no time in reference output: {out[:500]}"
+    return float(tm.group(1))
+
+
 def build_and_run_full(name: str, workdir: str, K: int, M: int, T: int,
                        prob: float, data_path: str, threads: int | None = None,
                        beam: int | None = None):
