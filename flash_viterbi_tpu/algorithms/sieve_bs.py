@@ -344,6 +344,10 @@ def sieve_bs_decode_many(logA, logB_raw, logPi, ys, beam_width: int,
             buckets.setdefault(Lp, []).append(nid)
 
         nxt: list[int] = []
+        # issue every lane-chunk of the level WITHOUT syncing (through the
+        # axon tunnel a synced dispatch has a ~25 ms floor; one readback
+        # per LEVEL instead of per chunk cut the K=3965 headline ~3x)
+        pending = []
         for Lp, grp in sorted(buckets.items()):
             for g0 in range(0, len(grp), _LANES):
                 chunk = grp[g0:g0 + _LANES]
@@ -364,10 +368,12 @@ def sieve_bs_decode_many(logA, logB_raw, logPi, ys, beam_width: int,
                 for i in range(n, _LANES):  # pad: replay lane 0 (discarded)
                     ys[i], ns[i], ms[i], tk[i], lf[i] = (ys[0], ns[0], ms[0],
                                                          tk[0], lf[0])
-                xa, xb, nl, tr, lr = _node_forward_batch(
+                out = _node_forward_batch(
                     logA, emitQ, A_posF, anc_cnt, desc_cnt, logPi,
                     jnp.asarray(ys), jnp.asarray(ns), jnp.asarray(ms),
                     jnp.asarray(tk), jnp.asarray(lf), B=B)
+                pending.append((chunk, out))
+        for chunk, (xa, xb, nl, tr, lr) in pending:
                 xa = np.asarray(xa); xb = np.asarray(xb)
                 nl = np.asarray(nl); lr = np.asarray(lr)
                 tr = np.asarray(tr) > 0

@@ -45,6 +45,33 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = float("-inf")  # python scalar: kernels may not capture traced constants
 
 
+def _lex_combine(va, ca, vb, cb):
+    """Lexicographic winner: larger value, ties to the smaller code."""
+    s = (va > vb) | ((va == vb) & (ca < cb))
+    return jnp.where(s, va, vb), jnp.where(s, ca, cb)
+
+
+def _lex_winner(v, c, S: int):
+    """Tournament-reduce (S, 128) (value, code) pairs to the global
+    winner, returned BROADCAST across one (1, 128) vreg — no scalar
+    round-trips inside (the per-iteration latency killer measured in
+    scripts/beam_profile2.py): block fold + butterfly rolls only."""
+    # fold S//8 sublane blocks -> (8, 128)
+    bv, bc = v[0:8], c[0:8]
+    for blk in range(1, S // 8):
+        bv, bc = _lex_combine(bv, bc, v[8 * blk:8 * (blk + 1)],
+                              c[8 * blk:8 * (blk + 1)])
+    # butterfly over 8 sublanes (circular rolls; max is idempotent)
+    for sh in (4, 2, 1):
+        bv, bc = _lex_combine(bv, bc, pltpu.roll(bv, sh, 0),
+                              pltpu.roll(bc, sh, 0))
+    rv, rc = bv[0:1], bc[0:1]  # (1, 128), winner per lane
+    for sh in (64, 32, 16, 8, 4, 2, 1):
+        rv, rc = _lex_combine(rv, rc, pltpu.roll(rv, sh, 1),
+                              pltpu.roll(rc, sh, 1))
+    return rv, rc  # every lane holds the global winner
+
+
 def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
                       emits_ref, logA_hbm,
                       hist_ref, slots_ref, planes_ref,
@@ -53,13 +80,14 @@ def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
                       *, B: int, K: int, P: int):
     t = pl.program_id(0)
     S = K // 128
+    nsteps = pl.num_programs(0)
 
     @pl.when(t == 0)
     def _():
-        # SMEM moves must be scalar (Mosaic rejects vector SMEM loads)
         def cp(b, c):
-            states_s[0, b] = states0_ref[0, b]
+            # SMEM moves must be scalar (Mosaic rejects vector SMEM loads)
             vals_s[0, b] = vals0_ref[0, b]
+            states_s[0, b] = states0_ref[0, b]
             return c
 
         jax.lax.fori_loop(0, B, cp, 0)
@@ -67,7 +95,11 @@ def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
         if P:
             planes_s[:] = jnp.full((P, B), -1, jnp.int32)
 
-    # fetch the B beam rows concurrently (single tile-aligned slab each)
+    # fetch the B beam rows concurrently (single tile-aligned slab each).
+    # NOTE the issue loop is unconditional at the top of every step: DMAs
+    # started inside an scf.for under @pl.when deadlock on this Mosaic
+    # (isolated by scripts/beam_dma_probe.py p3), so the overlapped
+    # issue-from-pick design is off the table.
     def issue(b, c):
         pltpu.make_async_copy(logA_hbm.at[states_s[0, b]],
                               rows_buf.at[b], sems.at[b]).start()
@@ -79,15 +111,14 @@ def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
               + jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1))
 
     # incremental max over beam slots: strict '>' keeps the LOWEST slot on
-    # ties — same winner as round 3's jnp.min(where(tmp == maxv, iotaB, B))
+    # ties — same winner as an explicit min-index extraction.  The == arm
+    # only fires while slot is unset (B), so an all--inf column reports
+    # slot 0 like the explicit form did.
     def fold(b, carry):
         maxv, slot = carry
-        pltpu.make_async_copy(logA_hbm.at[states_s[0, b]],
-                              rows_buf.at[b], sems.at[b]).wait()
-        cand = rows_buf[pl.ds(b, 1)][0] + vals_s[0, b]  # (S, 128)
-        # strict '>' keeps the lowest slot on ties; the == arm only fires
-        # while slot is still unset (B), so an all--inf column reports
-        # slot 0 exactly like the explicit min-index extraction did
+        pltpu.make_async_copy(logA_hbm.at[states_s[0, b]], rows_buf.at[b],
+                              sems.at[b]).wait()
+        cand = rows_buf[pl.ds(b, 1)][0] + vals_s[0, b]
         upd = (cand > maxv) | ((cand == maxv) & (slot == B))
         return jnp.where(upd, cand, maxv), jnp.where(upd, b, slot)
 
@@ -97,31 +128,33 @@ def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
          jnp.full((S, 128), B, jnp.int32)))
     full = maxv + emits_ref[0]            # (S, 128)
 
-    # top-B extraction: masked max + lowest-index, distinct via `taken`
+    # top-B extraction.  Loop state is the (value, code) pair array with
+    # code = idx*256 + slot (slot <= 128 fits 8 bits; the tie order of
+    # code equals the tie order of idx); an extracted entry is retired to
+    # (-inf, BIG), which sorts after every live entry — exactly the
+    # round-3 `taken` semantics, including distinct picks among -inf ties.
     iotaB1 = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    BIG = jnp.int32(2**30)
+    code0 = iota_g * 256 + slot
 
     def pick(b, carry):
-        # `taken` carried as int32: a bool-vector scf.for carry does not
-        # legalize in Mosaic (i1 mask packing) — measured on hw this round
-        taken, sv, slv = carry
-        free = taken == 0
-        masked = jnp.where(free, full, NEG)
-        m = jnp.max(masked)
-        cand = jnp.where(jnp.logical_and(masked == m, free), iota_g, K)
-        idx = jnp.min(cand)
-        taken = jnp.where(iota_g == idx, 1, taken)
-        states_s[0, b] = idx
-        vals_s[0, b] = m
-        # winning old-beam slot of this new beam entry: slot[idx]
-        sb = jnp.min(jnp.where(iota_g == idx, slot, B))
-        sv = jnp.where(iotaB1 == b, idx, sv)
-        slv = jnp.where(iotaB1 == b, sb, slv)
-        return taken, sv, slv
+        v, c, sv = carry
+        rv, rc = _lex_winner(v, c, S)
+        # retire the winner on the pure-vector path (rc is broadcast);
+        # the scalar extractions below only feed the SMEM beam registers
+        upd = c == jnp.broadcast_to(rc, (S, 128))
+        v = jnp.where(upd, jnp.float32(NEG), v)
+        c = jnp.where(upd, BIG, c)
+        cw = jnp.min(rc)          # single-vreg reduce: scalar winner code
+        mw = jnp.max(rv)          # scalar winner value
+        sv = jnp.where(iotaB1 == b, cw, sv)
+        states_s[0, b] = cw // 256
+        vals_s[0, b] = mw
+        return v, c, sv
 
-    _, sv, slv = jax.lax.fori_loop(
-        0, B, pick,
-        (jnp.zeros((S, 128), jnp.int32),
-         jnp.zeros((1, B), jnp.int32), jnp.zeros((1, B), jnp.int32)))
+    _, _, sv = jax.lax.fori_loop(
+        0, B, pick, (full, code0, jnp.zeros((1, B), jnp.int32)))
+    sv, slv = sv // 256, sv % 256
     # one vector store each (per-lane scalar VMEM stores don't lower)
     hist_ref[0] = sv
     slots_ref[0] = slv

@@ -179,7 +179,7 @@ def run_ref_c(keys=None):
         with tempfile.TemporaryDirectory() as td:
             data_dir = td + "/data/"
             os.makedirs(data_dir)
-            save_dataset(hmm, y, data_dir, K=cfg["K"], T=cfg["T"],
+            save_dataset(data_dir, hmm, y, T=cfg["T"],
                          prob=cfg.get("prob", 0.9))
             try:
                 t = build_and_run_timed(alg, td, cfg["K"], cfg["M"],

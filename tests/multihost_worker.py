@@ -36,6 +36,27 @@ def main():
 
     mesh = multihost.make_global_mesh(n_data=nproc, n_seq=2, n_state=1)
 
+    # ---- mesh-layout contract (parallel/multihost.py:11-19) -------------
+    # every (seq, state) plane must be process-local: the per-step state
+    # collectives ride ICI only, never DCN
+    arr = np.asarray(mesh.devices, dtype=object)
+    for d in range(arr.shape[0]):
+        procs = {dev.process_index for dev in arr[d].ravel()}
+        assert len(procs) == 1, f"plane {d} spans processes {procs}"
+    # data-major assignment: plane p belongs to process p (sorted order)
+    planes = [next(iter({dev.process_index for dev in arr[d].ravel()}))
+              for d in range(arr.shape[0])]
+    assert planes == sorted(planes), planes
+    # a state axis wider than one process's devices must be REFUSED
+    try:
+        multihost.make_global_mesh(n_data=1, n_seq=nproc, n_state=2)
+        assert False, "DCN-crossing state axis was not refused"
+    except ValueError as e:
+        assert "DCN" in str(e), e
+    # ... unless explicitly allowed
+    multihost.make_global_mesh(n_data=1, n_seq=nproc, n_state=2,
+                               allow_dcn_state=True)
+
     hmm, y = make_sparse_hmm(K=64, M=8, T=32, prob=0.3, seed=7)
     lh = hmm.log()
     logA = jnp.asarray(lh.logA)
