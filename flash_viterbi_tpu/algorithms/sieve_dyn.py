@@ -254,6 +254,10 @@ def sieve_dynamic_decode_many(logA, logB, logPi, ys,
             buckets.setdefault(Lp, []).append(nid)
 
         nxt: list[int] = []
+        # issue every lane-chunk of the level WITHOUT syncing, then read
+        # back once per level (the tunnel's ~25 ms dispatch-sync floor is
+        # otherwise paid per chunk — same fix as algorithms.sieve_bs)
+        pending = []
         for Lp, grp in sorted(buckets.items()):
             for g0 in range(0, len(grp), _LANES):
                 chunk = grp[g0:g0 + _LANES]
@@ -280,15 +284,17 @@ def sieve_dynamic_decode_many(logA, logB, logPi, ys,
                     ys[i], ns[i], ms[i], pis[i], lf[i] = (ys[0], ns[0], ms[0],
                                                           pis[0], lf[0])
                 if dag:
-                    xa, xb, nl, lr = _node_forward_dag_lanes(
+                    out = _node_forward_dag_lanes(
                         logA_d, logB_d, A_posF, jnp.asarray(ys),
                         jnp.asarray(ns), jnp.asarray(ms), jnp.asarray(pis),
                         jnp.asarray(lf), max_hops=min(Lp, K))
                 else:
-                    xa, xb, nl, lr = _node_forward_dyn_lanes(
+                    out = _node_forward_dyn_lanes(
                         logA_d, logB_d, anc_g, desc_g, jnp.asarray(ys),
                         jnp.asarray(ns), jnp.asarray(ms), jnp.asarray(pis),
                         jnp.asarray(lf))
+                pending.append((chunk, out))
+        for chunk, (xa, xb, nl, lr) in pending:
                 xa = np.asarray(xa); xb = np.asarray(xb)
                 nl = np.asarray(nl); lr = np.asarray(lr)
                 for i, nid in enumerate(chunk):

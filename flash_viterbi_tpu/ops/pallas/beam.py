@@ -45,33 +45,6 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = float("-inf")  # python scalar: kernels may not capture traced constants
 
 
-def _lex_combine(va, ca, vb, cb):
-    """Lexicographic winner: larger value, ties to the smaller code."""
-    s = (va > vb) | ((va == vb) & (ca < cb))
-    return jnp.where(s, va, vb), jnp.where(s, ca, cb)
-
-
-def _lex_winner(v, c, S: int):
-    """Tournament-reduce (S, 128) (value, code) pairs to the global
-    winner, returned BROADCAST across one (1, 128) vreg — no scalar
-    round-trips inside (the per-iteration latency killer measured in
-    scripts/beam_profile2.py): block fold + butterfly rolls only."""
-    # fold S//8 sublane blocks -> (8, 128)
-    bv, bc = v[0:8], c[0:8]
-    for blk in range(1, S // 8):
-        bv, bc = _lex_combine(bv, bc, v[8 * blk:8 * (blk + 1)],
-                              c[8 * blk:8 * (blk + 1)])
-    # butterfly over 8 sublanes (circular rolls; max is idempotent)
-    for sh in (4, 2, 1):
-        bv, bc = _lex_combine(bv, bc, pltpu.roll(bv, sh, 0),
-                              pltpu.roll(bc, sh, 0))
-    rv, rc = bv[0:1], bc[0:1]  # (1, 128), winner per lane
-    for sh in (64, 32, 16, 8, 4, 2, 1):
-        rv, rc = _lex_combine(rv, rc, pltpu.roll(rv, sh, 1),
-                              pltpu.roll(rc, sh, 1))
-    return rv, rc  # every lane holds the global winner
-
-
 def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
                       emits_ref, logA_hbm,
                       hist_ref, slots_ref, planes_ref,
@@ -128,32 +101,43 @@ def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
          jnp.full((S, 128), B, jnp.int32)))
     full = maxv + emits_ref[0]            # (S, 128)
 
-    # top-B extraction.  Loop state is the (value, code) pair array with
-    # code = idx*256 + slot (slot <= 128 fits 8 bits; the tie order of
-    # code equals the tie order of idx); an extracted entry is retired to
-    # (-inf, BIG), which sorts after every live entry — exactly the
-    # round-3 `taken` semantics, including distinct picks among -inf ties.
+    # top-B extraction: masked max + min packed code.  code = idx*256 +
+    # slot (slot <= 128 fits 8 bits; the tie order of code equals the tie
+    # order of idx), so ONE min-reduction yields the winning index AND its
+    # source slot — round 3 paid a third dependent reduction for the slot
+    # (measured at ~8 us/step of pure latency, scripts/beam_profile2.py).
+    # `taken` carried as int32: a bool-vector scf.for carry does not
+    # legalize in Mosaic (i1 mask packing).  A roll-butterfly tournament
+    # variant measured SLOWER than these two reductions on v5e (14.6 vs
+    # 11.1 ms full decode) — rolls lower as full cross-lane permutes.
     iotaB1 = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
     BIG = jnp.int32(2**30)
     code0 = iota_g * 256 + slot
 
     def pick(b, carry):
-        v, c, sv = carry
-        rv, rc = _lex_winner(v, c, S)
-        # retire the winner on the pure-vector path (rc is broadcast);
-        # the scalar extractions below only feed the SMEM beam registers
-        upd = c == jnp.broadcast_to(rc, (S, 128))
-        v = jnp.where(upd, jnp.float32(NEG), v)
-        c = jnp.where(upd, BIG, c)
-        cw = jnp.min(rc)          # single-vreg reduce: scalar winner code
-        mw = jnp.max(rv)          # scalar winner value
+        taken, sv = carry
+        free = taken == 0
+        masked = jnp.where(free, full, jnp.float32(NEG))
+        if S % 8 == 0 and S > 8:
+            # fold to one (8, 128) vreg first: shrinks the max-reduce tree
+            # (measured 29.1 -> 24.5 us/step at S=32)
+            bm = masked[0:8]
+            for blk in range(1, S // 8):
+                bm = jnp.maximum(bm, masked[8 * blk:8 * (blk + 1)])
+            m = jnp.max(bm)
+        else:
+            m = jnp.max(masked)
+        cand = jnp.where(jnp.logical_and(masked == m, free), code0, BIG)
+        cw = jnp.min(cand)
+        taken = jnp.where(code0 == cw, 1, taken)
         sv = jnp.where(iotaB1 == b, cw, sv)
         states_s[0, b] = cw // 256
-        vals_s[0, b] = mw
-        return v, c, sv
+        vals_s[0, b] = m
+        return taken, sv
 
-    _, _, sv = jax.lax.fori_loop(
-        0, B, pick, (full, code0, jnp.zeros((1, B), jnp.int32)))
+    _, sv = jax.lax.fori_loop(
+        0, B, pick, (jnp.zeros((S, 128), jnp.int32),
+                     jnp.zeros((1, B), jnp.int32)))
     sv, slv = sv // 256, sv % 256
     # one vector store each (per-lane scalar VMEM stores don't lower)
     hist_ref[0] = sv

@@ -159,7 +159,7 @@ def p5():
                    jax.ShapeDtypeStruct((1, 128), jnp.int32)],
     )(jnp.asarray(v), jnp.asarray(c))
     outv, outc = np.asarray(outv), np.asarray(outc)
-    best = max(zip(-v.ravel(), c.ravel()))  # min over (-v, c) = lex winner
+    best = min(zip(-v.ravel(), c.ravel()))  # min over (-v, c) = lex winner
     assert (outv == -best[0]).all() and (outc == best[1]).all(), (
         outv[0, :4], outc[0, :4], best)
     return "bit-ok"

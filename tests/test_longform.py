@@ -92,3 +92,30 @@ def test_long_batched_matches_per_sequence():
                                     num_segments=N, group_steps=group)
             np.testing.assert_array_equal(ref, got[b],
                                           err_msg=f"N={N} g={group} b={b}")
+
+
+def test_long_batched_cross_pipeline_f64_identity():
+    """Config-5's PRIMARY validation gate (VERDICT r3 item 7): the f64
+    path score must be BIT-identical between the batched and per-sequence
+    pipelines (different dispatch grouping and walk batching) — the
+    strong witness, replacing the wide calibrated tolerance as the gate.
+    scripts/config5_full.py applies the same gate at the full spec scale."""
+    from flash_viterbi_tpu.algorithms.longform import (
+        flash_decode_long, flash_decode_long_batched)
+    from flash_viterbi_tpu.oracle.validate import log_path_score_f64
+
+    hmm, y0 = fvt.make_sparse_hmm(K=128, M=10, T=96, prob=0.2, seed=13)
+    lh = hmm.log()
+    logA, logB, logPi = _tables(hmm)
+    rng = np.random.RandomState(5)
+    ys = np.stack([np.asarray(y0, np.int32),
+                   rng.randint(0, 10, 96).astype(np.int32)])
+    got = flash_decode_long_batched(logA, logB, logPi, ys,
+                                    num_segments=4, group_steps=31)
+    for b in range(2):
+        alt = flash_decode_long(logA, logB, logPi, ys[b],
+                                num_segments=4, group_steps=17)
+        s_b = log_path_score_f64(lh.logA, lh.logB, lh.logPi, ys[b], got[b])
+        s_a = log_path_score_f64(lh.logA, lh.logB, lh.logPi, ys[b], alt)
+        assert np.isfinite(s_b)
+        assert s_b == s_a, (b, s_b, s_a)  # bit identity, not tolerance
