@@ -147,14 +147,14 @@ def flash_bs_decode(logA, logB, logPi, y, beam_width: int, num_segments: int = 8
     emits = logB[:, y].T
 
     if use_pallas == "auto":
-        # honest r3 hardware verdict (results/round3_measure.log): the
-        # beam kernel is bit-exact but SLOWER than the XLA beam path at
-        # the headline config (10.7 vs 4.75 ms at K=3965/B=64) — its
-        # tiling-legal row fetch moves aligned 8-row blocks (8x the
-        # minimum DMA traffic) and the per-step DMA latency dominates at
-        # small B.  XLA is the default; use_pallas=True stays available
-        # (hw-proven) for shapes where 8*B*K exceeds XLA's gather+top_k
-        # overheads.
+        # honest r4 hardware verdict (results/round4_measure.log): the
+        # beam kernel is bit-exact and 36% faster than round 3 (7.9 vs
+        # 10.7 ms at K=3965/B=64) but the XLA beam path measures 3.3 ms.
+        # The binding constraint is the B-deep serial chain of dependent
+        # masked-max extractions (measured attribution in
+        # scripts/beam_profile2.py; traffic proven irrelevant after the
+        # 1x-slab DMA fix), where XLA's fused native top_k wins.  XLA is
+        # the default; use_pallas=True stays available (hw-proven).
         use_pallas = False
     from .flash import _pallas_interpret
 

@@ -206,6 +206,13 @@ _WALK_C = 8  # rows per chunk (int32/f32 sublane tile)
 _NEG = float("-inf")  # python scalar: kernels may not capture traced consts
 
 
+# lane loops are python-unrolled up to this N (Mosaic schedules the
+# straight-line DMA issues back-to-back; an scf.for serializes them and
+# costs per-iteration loop overhead on the walk's per-row critical path);
+# above it the fori_loop form keeps compile time and code size bounded
+_WALK_UNROLL_N = 16
+
+
 def _walk_kernel(last_ref, valid_ref, logAT_hbm, deltas_ref, path_ref,
                  states_s, rows_buf, sems, *, C: int, N: int, K: int,
                  masked: bool):
@@ -216,6 +223,14 @@ def _walk_kernel(last_ref, valid_ref, logAT_hbm, deltas_ref, path_ref,
     (``flash.decode_segments_pointer_pallas``)."""
     g = pl.program_id(0)
     S = K // 128
+    unroll = N <= _WALK_UNROLL_N
+
+    def lanes(body, acc):
+        if unroll:
+            for n in range(N):
+                acc = body(n, acc)
+            return acc
+        return jax.lax.fori_loop(0, N, body, acc)
 
     @pl.when(g == 0)
     def _():
@@ -223,7 +238,7 @@ def _walk_kernel(last_ref, valid_ref, logAT_hbm, deltas_ref, path_ref,
             states_s[0, n] = last_ref[0, n]
             return c
 
-        jax.lax.fori_loop(0, N, cp, 0)
+        lanes(cp, 0)
 
     iota_g = (jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0) * 128
               + jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1))
@@ -239,7 +254,7 @@ def _walk_kernel(last_ref, valid_ref, logAT_hbm, deltas_ref, path_ref,
                                   sems.at[n]).start()
             return c
 
-        jax.lax.fori_loop(0, N, issue, 0)
+        lanes(issue, 0)
 
         def lane(n, acc):
             s = jnp.minimum(states_s[0, n], K - 1)
@@ -255,9 +270,16 @@ def _walk_kernel(last_ref, valid_ref, logAT_hbm, deltas_ref, path_ref,
             states_s[0, n] = idx
             return acc
 
-        return jax.lax.fori_loop(0, N, lane, acc)
+        return lanes(lane, acc)
 
-    path_ref[0] = jax.lax.fori_loop(0, C, row, jnp.zeros((N, C), jnp.int32))
+    if unroll:
+        acc = jnp.zeros((N, C), jnp.int32)
+        for i in range(C):
+            acc = row(i, acc)
+        path_ref[0] = acc
+    else:
+        path_ref[0] = jax.lax.fori_loop(0, C, row,
+                                        jnp.zeros((N, C), jnp.int32))
 
 
 def _walk_kernel_resident(last_ref, logAT_ref, deltas_ref, path_ref,

@@ -1,37 +1,44 @@
 """Fused Pallas beam-scan kernel: the whole top-B forward recursion in one
 ``pallas_call``.
 
-The XLA beam step (``algorithms/flash_bs.beam_step``) is latency-bound,
-not bandwidth-bound: per trellis step it pays a row gather (B rows =
-~1 MB at K=4096, ~1.2 us at HBM speed), a (B, K) reduce and a ``top_k``
-as separate fused loops with XLA's per-op scheduling — ~10-14 us/step
-measured.  This kernel keeps the entire time loop on-chip:
+This is the TPU analog of the reference FPGA's dual-heap ping-pong
+(HEAP_1/HEAP_2 + HEAP_SELECT units, SURVEY.md §2.5 row 17, reference
+``src/FLASH_BS_Viterbi_multithread.c:51-211``): the heap is replaced by a
+sorted beam register file extracted on the VPU.
+
+Design (round 4, measured on a v5e chip — scripts/beam_profile*.py):
 
 * grid = (T-1,); TPU grids run sequentially, so the beam (values and
   state ids in SMEM) carries across steps in scratch;
 * the B beam rows of ``logA`` stay in HBM and are fetched per step with B
   concurrent single-row DMAs: ``logA`` arrives reshaped (K, K//128, 128)
   so every row is its own tile-aligned (K//128, 128) slab and a dynamic
-  leading-index DMA moves exactly K*4 bytes.  (Round 3 used the
-  (K//8, 8, K) layout — aligned 8-row blocks, 8x the traffic, because
-  single-row slices of an (8,128)-tiled 2-D memref do not lower; the
-  slab layout removes that 8x, which made the round-3 kernel LOSE to
-  XLA 10.7 vs 4.75 ms at K=3965/B=64.)
-* the (B, K) score max and the top-B extraction run in the same
-  (K//128, 128) lane-block form with a global index iota — identical
-  lowest-index tie semantics as ``jax.lax.top_k``'s descending,
-  index-stable order (the "taken" mask keeps indices distinct even among
-  -inf ties);
+  leading-index DMA moves exactly K*4 bytes (round 3's (K//8, 8, K)
+  aligned-block layout moved 8x that, because single-row slices of an
+  (8,128)-tiled 2-D memref do not lower);
+* top-B extraction = B iterations of masked max + min over a PACKED code
+  (idx*256 + source-slot): one min-reduction yields the winning index AND
+  its backtrack slot — identical lowest-index tie semantics as
+  ``jax.lax.top_k``'s descending, index-stable order (the "taken" mask
+  keeps indices distinct even among -inf ties);
 * per-step outputs are the beam history (T-1, B) state ids and the
   winning-slot pointers (T-1, B) — the O(T*B) beam memory contract;
 * optionally, FLASH-BS's P anchor planes ((P, B) int32: state at anchor
   time per beam slot) fold in-kernel — the record/propagate recurrence is
   a lane gather by the winning slots (B <= 128 lanes = one vreg).
 
-This is the TPU analog of the reference FPGA's dual-heap ping-pong
-(HEAP_1/HEAP_2 + HEAP_SELECT units, SURVEY.md §2.5 row 17): the heap is
-replaced by a sorted beam register file selected on the VPU.
+Honest verdict (kept current in results/SCALE.md): at the headline
+K=3965/B=64/T=256 this kernel measures 7.9 ms bit-exact — 36% faster
+than round 3's 10.7 ms — but XLA's beam path measures 3.3 ms and stays
+the default.  The binding constraint is NOT memory traffic (the 8x DMA
+fix moved the wall < 1 ms; measured DMA cost is ~1.8 of ~39 us/step):
+it is the B-deep serial chain of dependent masked-max extractions, where
+XLA's fused native top_k beats every Pallas formulation tried — masked
+max+min (this kernel), a roll-butterfly tournament (slower: rolls lower
+as full cross-lane permutes), and block-max prefolds (kept, −15%).
+Per-iteration attribution lives in scripts/beam_profile2.py.
 """
+
 
 from __future__ import annotations
 
