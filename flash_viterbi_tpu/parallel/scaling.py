@@ -34,6 +34,13 @@ Model summary (see ``analyze`` for the formulas):
   step in both phases; ``8*K*(t-1)/t`` bytes per step per device.
 * seq axis: one (mb, K) fp32 ppermute per pipeline tick, the (n_seq, Bd,
   K) boundary-plane gather, and the final (Bd, T) int32 psum.
+
+Validation (round 4): ``parallel.commtrace`` walks the sharded decode's
+jaxpr on virtual meshes and counts every collective it actually issues
+(scan trips multiplied through).  The ppermute term (whose tick count IS
+the pipeline bubble) and the path-psum term match the trace EXACTLY, and
+the total per-device received bytes match within 15% across (2,2,2) /
+(1,4,2) / (2,1,4) — pinned in tests/test_commtrace.py.
 """
 
 from __future__ import annotations
