@@ -337,6 +337,17 @@ def flash_decode_long_batched(logA, logB, logPi, ys, num_segments: int = 4,
     checkpoint is the same deterministic computation, and lane batching
     changes nothing per lane.  Every dispatch stays bounded.
     """
+    import os
+    import time as _time
+
+    verbose = bool(os.environ.get("FVT_LONGFORM_VERBOSE"))
+
+    def _mark(tag, t0):
+        if verbose:
+            print(f"# longform {tag}: {_time.time() - t0:.1f}s", flush=True)
+        return _time.time()
+
+    _t = _time.time()
     if interpret == "auto":
         interpret = jax.default_backend() != "tpu"
     interpret = bool(interpret)
@@ -371,6 +382,7 @@ def flash_decode_long_batched(logA, logB, logPi, ys, num_segments: int = 4,
         bounds.append((j, n))
         j += n
     last = jnp.argmax(d, axis=1).astype(jnp.int32)  # (Bs,)
+    _t = _mark("phaseA", _t)
 
     # ---- phase B: backward windowed recompute + walk ---------------------
     state = last
@@ -385,6 +397,7 @@ def flash_decode_long_batched(logA, logB, logPi, ys, num_segments: int = 4,
         state = w[:, 0]
     pieces.append(np.asarray(state)[:, None])
     path1 = np.concatenate(pieces[::-1], axis=1)  # (Bs, T)
+    _t = _mark("phaseB", _t)
     if not mids:
         return path1.astype(np.int64)
     anchors = path1[:, np.asarray(mids)]  # (Bs, N-1)
@@ -444,6 +457,7 @@ def flash_decode_long_batched(logA, logB, logPi, ys, num_segments: int = 4,
                 L0 = starts_np[s]
                 out[b0 + b, L0:L0 + lens_np[s]] = \
                     seg_paths[b * N + s, :lens_np[s]]
+    _mark("phase2", _t)
     return out
 
 

@@ -95,33 +95,64 @@ def probe(lh, y0, batches, probe_T):
              first_states=[int(paths[b][0]) for b in range(min(bs, 4))])
 
 
-def full(lh, y0, batch, limit=N_SEQS):
+SCORES = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "results", "config5_scores.jsonl")
+
+
+def _recorded(segments):
+    """seq -> (score, wall_share) already decoded by a prior (resumed) run
+    with the SAME segment count."""
+    done = {}
+    if os.path.exists(SCORES):
+        with open(SCORES) as f:
+            for line in f:
+                r = json.loads(line)
+                if r.get("segments") == segments:
+                    for b, sc in zip(range(r["b0"], r["b1"]), r["scores"]):
+                        done[b] = (sc, r["wall_s"] / (r["b1"] - r["b0"]))
+    return done
+
+
+def full(lh, y0, batch, limit=N_SEQS, segments=N_SEGMENTS):
     logA = jnp.asarray(lh.logA)
     logB = jnp.asarray(lh.logB)
     logPi = jnp.asarray(lh.logPi)
     ys = make_ys(y0, limit)
     g = group_for(batch)
-    emit(full_start=limit, batch=batch, group_steps=g)
+    done = _recorded(segments)
+    emit(full_start=limit, batch=batch, group_steps=g, segments=segments,
+         resumed_seqs=len(done))
     scores = np.zeros(limit)
+    walls = np.zeros(limit)  # per-seq wall share (resumable accounting)
     total0 = time.time()
     sample_paths = {}
     for b0 in range(0, limit, batch):
         b1 = min(b0 + batch, limit)
+        if all(b in done for b in range(b0, b1)):
+            for b in range(b0, b1):
+                scores[b], walls[b] = done[b]
+            continue
         t0 = time.time()
         paths = flash_decode_long_batched(logA, logB, logPi, ys[b0:b1],
-                                          num_segments=N_SEGMENTS,
+                                          num_segments=segments,
                                           group_steps=g)
         wall = time.time() - t0
         for b in range(b0, b1):
             scores[b] = log_path_score_f64(lh.logA, lh.logB, lh.logPi,
                                            ys[b], paths[b - b0])
+            walls[b] = wall / (b1 - b0)
         if b0 == 0:
             sample_paths[0] = paths[0].copy()
+        with open(SCORES, "a") as f:
+            f.write(json.dumps({"b0": b0, "b1": b1, "segments": segments,
+                                "batch": batch, "wall_s": round(wall, 2),
+                                "scores": [float(x) for x in
+                                           scores[b0:b1]]}) + "\n")
         emit(batch_done=[b0, b1], wall_s=round(wall, 1),
              s_per_seq=round(wall / (b1 - b0), 2),
              scores_finite=bool(np.isfinite(scores[b0:b1]).all()),
              elapsed_h=round((time.time() - total0) / 3600, 3))
-    total = time.time() - total0
+    total = float(walls.sum())  # decode seconds across (possibly) resumed runs
     upd = float(limit) * (T_SPEC - 1) * K * K
     emit(config=f"{limit}xK{K}xT{T_SPEC}", total_wall_s=round(total, 1),
          decode_updates_per_s=upd / total,
@@ -136,17 +167,18 @@ def full(lh, y0, batch, limit=N_SEQS):
     for b in (0, limit // 2, limit - 1):
         t0 = time.time()
         alt = flash_decode_long(logA, logB, logPi, ys[b],
-                                num_segments=N_SEGMENTS, group_steps=4096)
+                                num_segments=segments, group_steps=4096)
         s_alt = log_path_score_f64(lh.logA, lh.logB, lh.logPi, ys[b], alt)
         bit = bool(s_alt == scores[b])
+        path_bit = (bool((alt == sample_paths[0]).all())
+                    if b == 0 and 0 in sample_paths else None)
         emit(gate="cross_pipeline_f64_bit_identity", seq=b,
              score_batched=scores[b], score_per_seq=s_alt, bit_equal=bit,
-             path_bit_equal=(bool((alt == sample_paths[0]).all())
-                             if b == 0 else None),
+             path_bit_equal=path_bit,
              wall_s=round(time.time() - t0, 1))
         ok = ok and bit
-        if b == 0:
-            ok = ok and bool((alt == sample_paths[0]).all())
+        if path_bit is not None:
+            ok = ok and path_bit
 
     # gate 2 (secondary): cross-segmentation tolerance
     t0 = time.time()
@@ -170,10 +202,11 @@ if __name__ == "__main__":
     ap.add_argument("--batches", default="8,16,32")
     ap.add_argument("--full", type=int, default=0, metavar="BATCH")
     ap.add_argument("--limit", type=int, default=N_SEQS)
+    ap.add_argument("--segments", type=int, default=N_SEGMENTS)
     a = ap.parse_args()
     print(jax.devices(), flush=True)
     lh, y0 = tables()
     if a.probe:
         probe(lh, y0, [int(x) for x in a.batches.split(",")], a.probe_T)
     if a.full:
-        sys.exit(full(lh, y0, a.full, a.limit))
+        sys.exit(full(lh, y0, a.full, a.limit, segments=a.segments))

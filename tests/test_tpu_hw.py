@@ -310,3 +310,31 @@ def test_recompute_argmax_pipeline_on_hw(tpu_backend):
     b = fused_decode_batch(jnp.asarray(lh.logA), jnp.asarray(lh.logB),
                            jnp.asarray(lh.logPi), ys, pointers="recompute")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_walk_kernel_wide_lanes_on_hw(tpu_backend):
+    """>= 64-lane recompute walk on real Mosaic (VERDICT r3 item 5: round
+    3's unrolled per-lane DMA chains capped at 32 lanes by compile time;
+    the fori-loop kernel must compile and stay bit-exact at N=64)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.ops import maxplus as mp
+    from flash_viterbi_tpu.ops.pallas.backtrack import (
+        argmax_walk_pallas, argmax_walk_supported)
+    from flash_viterbi_tpu.ops.pallas.maxplus import maxplus_scan_deltas
+
+    Tm, N, K = 33, 64, 512
+    assert argmax_walk_supported(N, K)
+    rng = np.random.RandomState(4)
+    logA = jnp.asarray(rng.randn(K, K).astype(np.float32))
+    logA = logA.at[7].set(logA[3])  # exact ties
+    emits = jnp.asarray(rng.randn(Tm, N, K).astype(np.float32))
+    delta0 = jnp.asarray(rng.randn(N, K).astype(np.float32))
+    dfin, deltas = maxplus_scan_deltas(logA, emits, delta0)
+    last = jnp.argmax(dfin, axis=1).astype(jnp.int32)
+    got = np.asarray(argmax_walk_pallas(deltas, jnp.transpose(logA), last))
+    for n in (0, 31, 63):  # spot lanes vs the XLA pipeline
+        _, ptrs = mp.forward_scan(delta0[n], logA, emits[:, n])
+        want = np.asarray(mp.backtrack(ptrs, last[n]))
+        np.testing.assert_array_equal(got[n], want)
