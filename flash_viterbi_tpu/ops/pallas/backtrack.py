@@ -342,10 +342,13 @@ def _xla_walk_rows(rows, logAT, vrows, state):
 
 def argmax_walk_supported(N: int, K: int) -> bool:
     """VMEM bound: double-buffered (C, N, K) delta chunks + the (N, K)
-    single-slab column landing buffers must fit comfortably."""
+    single-slab column landing buffers must fit.  Budget 32 MB of the
+    v5e's 128 MB physical VMEM (the pallas_call sizes its scoped limit
+    from the real buffers): 16 lanes at K=16384 (17.8 MB) ride one kernel
+    call — at config-5 scale that halves the walk vs 2x8-lane splits."""
     return (K % 128 == 0
             and (2 * _WALK_C * N * K + N * K + 16 * N) * 4
-            <= 14 * 1024 * 1024)
+            <= 32 * 1024 * 1024)
 
 
 def argmax_walk_pallas(deltas: jax.Array, logAT: jax.Array,
