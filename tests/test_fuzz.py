@@ -36,7 +36,12 @@ def test_exact_algorithms_agree(K, M, T, prob, seed):
         ("flash", {"num_segments": 5, "mode": "lean", "lean_leaf": 0}),
         ("flash", {"num_segments": 3, "mode": "lean", "lean_leaf": 4}),
         ("flash_bs", {"beam_width": K, "num_segments": 5}),
+        # full-beam Pallas path: the round-4 beam kernel (single-slab DMA,
+        # packed-code extraction) must equal vanilla exactly at B == K
+        ("flash_bs", {"beam_width": K, "num_segments": 5,
+                      "use_pallas": True}),
         ("beam", {"beam_width": K}),
+        ("beam", {"beam_width": K, "use_pallas": True}),
     ]:
         r = fvt.decode(hmm, y, algorithm=alg, pad_to=1, warmup=False, **kw)
         np.testing.assert_array_equal(r.path, want,
