@@ -89,8 +89,13 @@ def rank(K: int, T: int, beam_width: int | None = None) -> list[tuple[str, dict]
         return [("flash_bs", {"beam_width": beam_width, "num_segments": 8})]
     if DISPATCH_CEILING_S and _sweep_seconds(K, T) > DISPATCH_CEILING_S:
         # config-5-class shapes: one forward sweep alone exceeds the
-        # dispatch ceiling — only the host-phased decoder can run
-        return [("flash_long", {"num_segments": 4})]
+        # dispatch ceiling — only the host-phased decoder can run.
+        # num_segments=1 (pure 2-pass: checkpointed forward + backward
+        # recompute walk, no phase-2 restarts) measured fastest at the
+        # 256xK16384xT65536 spec scale on one chip (32.7 s/seq vs ~50 at
+        # N=4 — phase 2 is a third full pass; segment restarts exist for
+        # PARALLEL distribution, which one chip doesn't need)
+        return [("flash_long", {"num_segments": 1})]
     if T < TINY_T:
         return [("fused", {}), ("checkpoint", {})]
     if T >= LONG_T:
