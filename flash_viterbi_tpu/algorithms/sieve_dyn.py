@@ -182,6 +182,193 @@ def _node_forward_dag_lanes(logA, logB, A_posF, y_segs, n_valids, masks,
     return jax.vmap(one)(y_segs, n_valids, masks, pi_vecs, last_forceds)
 
 
+@partial(jax.jit, static_argnames=("dag",))
+def _device_recursion_dyn(logA, logB, A_posF, A_posT, anc_g, desc_g,
+                          logu_table, y, root_mask, dag: bool):
+    """The ENTIRE SIEVE / SIEVE-DAG recursion tree in one device dispatch.
+
+    Same scheme as ``sieve_bs._device_recursion`` (see its docstring for
+    the round-5 rationale): an explicit node stack in a
+    ``lax.while_loop``; each node runs the dense masked forward pass of
+    :func:`_node_forward_dyn_impl` (exact lengths, no bucketing pad),
+    then the children's subgraph-restricted BFS prunes; one readback at
+    the end.  ``dag=True`` recomputes per-node (ancestor, descendant)
+    counts over the index-restricted subgraph before the forward pass
+    (``_dag_counts`` semantics, early-exit while_loop).
+
+    ``logu_table[k] = float32(log(1/k))`` precomputed on host so the
+    subset-uniform prior is bit-identical to the host scheduler's
+    ``np.float32(np.log(1.0 / k_sub))``.
+    """
+    K = logA.shape[0]
+    T = y.shape[0]
+    C = max(int(T), 1)
+    iota = jnp.arange(K, dtype=jnp.int32)
+    NEGj = jnp.float32(-jnp.inf)
+
+    def bfs_sub(adjF, src, hops, maskf):
+        """Visited-gated BFS restricted to the node's subset
+        (== ``_host_bfs`` over ``adj & outer(mask, mask)``)."""
+        def cond(c):
+            h, vis, fr, alive = c
+            return alive & (h < hops)
+
+        def body(c):
+            h, vis, fr, alive = c
+            nxt = (((fr.astype(jnp.float32) * maskf) @ adjF) > 0) \
+                & (maskf > 0) & (~vis)
+            return (h + 1, vis | nxt, nxt, jnp.any(nxt))
+
+        _, vis, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros((K,), jnp.bool_),
+                         iota == src, jnp.bool_(True)))
+        return vis
+
+    def dag_counts(maskf, n_hops):
+        """Per-node subgraph counts: K simultaneous frontier advances
+        (== ``_dag_counts`` with early exit on an empty frontier)."""
+        pair = maskf[:, None] * maskf[None, :]
+        adj = A_posF * pair
+        adjT = A_posT * pair.T
+
+        def run(a):
+            def cond(c):
+                h, vis, fr, alive = c
+                return alive & (h < n_hops)
+
+            def body(c):
+                h, vis, fr, alive = c
+                new = ((fr @ a) > 0) & (~vis) & (maskf > 0)[None, :]
+                return (h + 1, vis | new, new.astype(jnp.float32),
+                        jnp.any(new))
+
+            f0 = jnp.eye(K, dtype=jnp.float32) * maskf[:, None]
+            _, vis, _, _ = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), jnp.zeros((K, K), jnp.bool_), f0,
+                 jnp.bool_(True)))
+            return vis.sum(axis=1).astype(jnp.float32)
+
+        return run(adjT), run(adj)  # (ancestors, descendants)
+
+    def process(state):
+        (stack, sp, count, masks, lo_a, ln_a, lastf, inits, kind,
+         pa, pb, lch, rch) = state
+        nid = stack[sp - 1]
+        sp = sp - jnp.int32(1)
+        mask = masks[nid]
+        maskf = mask.astype(jnp.float32)
+        lo = lo_a[nid]
+        L = ln_a[nid]
+        msum = jnp.sum(mask.astype(jnp.int32))
+
+        def fwd(op):
+            (stack, sp, count, masks, lo_a, ln_a, lastf, inits, kind,
+             pa, pb, lch, rch) = op
+            if dag:
+                anc_cnt, desc_cnt = dag_counts(
+                    maskf, jnp.minimum(L - 1, K))
+            else:
+                anc_cnt, desc_cnt = anc_g, desc_g
+            init = inits[nid]
+            pi_vec = jnp.where(init == -1, logu_table[msum],
+                               jnp.where(iota == init, 0.0, NEGj))
+            T1 = jnp.where(mask, pi_vec + logB[:, y[lo]], NEGj)
+            pair_mask = mask[:, None] & mask[None, :]
+
+            def tbody(c):
+                j, T1, mx, my, mn, mval = c
+                emit_row = logB[:, y[lo + j]]
+                scores = (T1[:, None] + logA) + emit_row[None, :]
+                scores = jnp.where(jnp.isnan(scores), NEGj, scores)
+                scores = jnp.where(pair_mask, scores, NEGj)
+                best = jnp.max(scores, axis=0)
+                win = (scores == best[None, :]) & mask[:, None]
+                arg = jnp.min(jnp.where(win, iota[:, None], K),
+                              axis=0).astype(jnp.int32)
+                cand = jnp.maximum(anc_cnt[arg], desc_cnt)
+                pv = mval[arg]
+                take_new = cand < pv
+                inh = jnp.logical_and(~take_new, mx[arg] != -1)
+                nmx = jnp.where(take_new, arg, jnp.where(inh, mx[arg], -1))
+                nmy = jnp.where(take_new, iota, jnp.where(inh, my[arg], -1))
+                nmn = jnp.where(take_new, j,
+                                jnp.where(inh, mn[arg], -1)).astype(jnp.int32)
+                nmval = jnp.where(take_new, cand,
+                                  jnp.where(inh, pv, jnp.inf))
+                return (j + 1, best, nmx.astype(jnp.int32),
+                        nmy.astype(jnp.int32), nmn, nmval)
+
+            (_, T1, mx, my, mn, mval) = jax.lax.while_loop(
+                lambda c: c[0] < L, tbody,
+                (jnp.int32(1), T1, jnp.full((K,), -1, jnp.int32),
+                 jnp.full((K,), -1, jnp.int32),
+                 jnp.full((K,), -1, jnp.int32),
+                 jnp.full((K,), jnp.inf, jnp.float32)))
+
+            bestT = jnp.max(jnp.where(mask, T1, NEGj))
+            last_arg = jnp.min(jnp.where((T1 == bestT) & mask, iota,
+                                         K)).astype(jnp.int32)
+            lf = lastf[nid]
+            last = jnp.where(lf >= 0, lf, last_arg)
+            x_a, x_b, n_left = mx[last], my[last], mn[last]
+            ok = x_a != -1  # median never set: the oracle's early return
+            kind = kind.at[nid].set(jnp.where(ok, 1, 3))
+            pa = pa.at[nid].set(x_a)
+            pb = pb.at[nid].set(x_b)
+
+            # left child: subgraph ancestors of x_a; inherit parent init
+            spawn_l = ok & (n_left > 1)
+            lmask = bfs_sub(A_posT, x_a, n_left - 1, maskf) | (iota == x_a)
+            cid = count
+            masks = masks.at[cid].set(lmask)
+            lo_a = lo_a.at[cid].set(lo)
+            ln_a = ln_a.at[cid].set(n_left)
+            lastf = lastf.at[cid].set(x_a)
+            inits = inits.at[cid].set(inits[nid])
+            stack = stack.at[sp].set(cid)
+            dl = spawn_l.astype(jnp.int32)
+            lch = lch.at[nid].set(jnp.where(spawn_l, cid, -1))
+            sp2, count2 = sp + dl, count + dl
+
+            # right child: subgraph descendants of x_b; forced init=x_b,
+            # end state re-picked by argmax (last=-1)
+            n_right = L - n_left
+            spawn_r = ok & (n_right > 1)
+            rmask = bfs_sub(A_posF, x_b, n_right - 1, maskf) | (iota == x_b)
+            cid2 = count2
+            masks = masks.at[cid2].set(rmask)
+            lo_a = lo_a.at[cid2].set(lo + n_left)
+            ln_a = ln_a.at[cid2].set(n_right)
+            lastf = lastf.at[cid2].set(-1)
+            inits = inits.at[cid2].set(x_b)
+            stack = stack.at[sp2].set(cid2)
+            dr = spawn_r.astype(jnp.int32)
+            rch = rch.at[nid].set(jnp.where(spawn_r, cid2, -1))
+            return (stack, sp2 + dr, count2 + dr, masks, lo_a, ln_a,
+                    lastf, inits, kind, pa, pb, lch, rch)
+
+        kind = kind.at[nid].set(3)  # overwritten by fwd when it runs
+        op = (stack, sp, count, masks, lo_a, ln_a, lastf, inits, kind,
+              pa, pb, lch, rch)
+        return jax.lax.cond((msum > 1) & (L > 1), fwd, lambda o: o, op)
+
+    state = (jnp.zeros((C,), jnp.int32),          # stack ([0])
+             jnp.int32(1), jnp.int32(1),          # sp, count
+             jnp.zeros((C, K), jnp.bool_).at[0].set(root_mask > 0),
+             jnp.zeros((C,), jnp.int32),          # lo
+             jnp.zeros((C,), jnp.int32).at[0].set(T),
+             jnp.full((C,), -1, jnp.int32),       # last forced
+             jnp.full((C,), -1, jnp.int32),       # init (-1 = uniform)
+             jnp.zeros((C,), jnp.int32),          # kind
+             jnp.full((C,), -1, jnp.int32),       # pair a
+             jnp.full((C,), -1, jnp.int32),       # pair b
+             jnp.full((C,), -1, jnp.int32),       # left child
+             jnp.full((C,), -1, jnp.int32))       # right child
+    out = jax.lax.while_loop(lambda s: s[1] > 0, process, state)
+    return out[8], out[9], out[10], out[11], out[12]
+
+
 def sieve_dynamic_decode(logA, logB, logPi, y, b_hops: int | None = None,
                          dag: bool = False) -> list[tuple[int, int]]:
     """Full SIEVE (dynamic median) / SIEVE-DAG decode; returns the in-order
@@ -194,7 +381,8 @@ def sieve_dynamic_decode(logA, logB, logPi, y, b_hops: int | None = None,
 
 def sieve_dynamic_decode_many(logA, logB, logPi, ys,
                               b_hops: int | None = None,
-                              dag: bool = False
+                              dag: bool = False,
+                              engine: str = "device"
                               ) -> list[list[tuple[int, int]]]:
     """SIEVE / SIEVE-DAG over a batch of sequences with one shared lane
     scheduler — all trees feed the same level queue, so the 8-lane
@@ -219,6 +407,24 @@ def sieve_dynamic_decode_many(logA, logB, logPi, ys,
         b = (max(1, int(np.floor(np.log2(max(2, int(real.sum()))))))
              if b_hops is None else int(b_hops))
         anc_g, desc_g = _bhop_counts(A_posF, hops=b)
+    else:
+        anc_g = desc_g = jnp.zeros((K,), jnp.float32)  # engine recomputes
+
+    if engine == "device":
+        A_posT = jnp.transpose(A_posF)
+        # host-exact subset-uniform priors: float32(log(1/k_sub))
+        with np.errstate(divide="ignore"):
+            logu = np.log(1.0 / np.maximum(np.arange(K + 1), 1)
+                          ).astype(np.float32)
+        logu_d = jnp.asarray(logu)
+        real_f = jnp.asarray(real.astype(np.float32))
+        outs = [_device_recursion_dyn(logA_d, logB_d, A_posF, A_posT,
+                                      anc_g, desc_g, logu_d,
+                                      jnp.asarray(ys_np[s]), real_f,
+                                      dag=dag)
+                for s in range(S)]  # issue all, then read back once
+        from .sieve_bs import _flatten_device_tree
+        return [_flatten_device_tree(*map(np.asarray, o)) for o in outs]
 
     # Level-batched host recursion (same scheme as algorithms.sieve_bs):
     # sibling subtrees are independent once the parent's split is known.
@@ -295,30 +501,30 @@ def sieve_dynamic_decode_many(logA, logB, logPi, ys,
                         jnp.asarray(lf))
                 pending.append((chunk, out))
         for chunk, (xa, xb, nl, lr) in pending:
-                xa = np.asarray(xa); xb = np.asarray(xb)
-                nl = np.asarray(nl); lr = np.asarray(lr)
-                for i, nid in enumerate(chunk):
-                    nd = nodes[nid]
-                    L = len(nd["y"])
-                    x_a, x_b, n_left = int(xa[i]), int(xb[i]), int(nl[i])
-                    if x_a == -1:  # median never set: the oracle's early return
-                        nd["kind"] = "skip"
-                        continue
-                    nd["pair"] = (x_a, x_b)
-                    adj_sub = A_pos_np & np.outer(nd["mask"], nd["mask"])
-                    if n_left > 1:
-                        lm = _host_bfs(adj_sub.T, x_a, n_left - 1).copy()
-                        lm[x_a] = True
-                        nd["left"] = new_node(lm, nd["y"][:n_left], x_a,
-                                              nd["init"])
-                        nxt.append(nd["left"])
-                    n_right = L - n_left
-                    if n_right > 1:
-                        rm = _host_bfs(adj_sub, x_b, n_right - 1).copy()
-                        rm[x_b] = True
-                        nd["right"] = new_node(rm, nd["y"][-n_right:],
-                                               None, x_b)
-                        nxt.append(nd["right"])
+            xa = np.asarray(xa); xb = np.asarray(xb)
+            nl = np.asarray(nl); lr = np.asarray(lr)
+            for i, nid in enumerate(chunk):
+                nd = nodes[nid]
+                L = len(nd["y"])
+                x_a, x_b, n_left = int(xa[i]), int(xb[i]), int(nl[i])
+                if x_a == -1:  # median never set: the oracle's early return
+                    nd["kind"] = "skip"
+                    continue
+                nd["pair"] = (x_a, x_b)
+                adj_sub = A_pos_np & np.outer(nd["mask"], nd["mask"])
+                if n_left > 1:
+                    lm = _host_bfs(adj_sub.T, x_a, n_left - 1).copy()
+                    lm[x_a] = True
+                    nd["left"] = new_node(lm, nd["y"][:n_left], x_a,
+                                          nd["init"])
+                    nxt.append(nd["left"])
+                n_right = L - n_left
+                if n_right > 1:
+                    rm = _host_bfs(adj_sub, x_b, n_right - 1).copy()
+                    rm[x_b] = True
+                    nd["right"] = new_node(rm, nd["y"][-n_right:],
+                                           None, x_b)
+                    nxt.append(nd["right"])
         level = nxt
 
     # in-order flatten == the original's append order

@@ -181,6 +181,12 @@ def _beam_scan_kernel(vals0_ref, states0_ref, states0v_ref, prop_ref,
 def _call(logA, emits, vals0, states0, prop, P: int, interpret: bool):
     Tm, K = emits.shape
     B = vals0.shape[0]
+    if B > 128:
+        # one vreg of lanes per heap plane, and packed codes reserve 8
+        # bits for the slot — larger beams would silently corrupt codes
+        # on the explicit use_pallas=True path (ADVICE r4)
+        raise ValueError(f"beam kernel supports B <= 128, got B={B}; "
+                         "use the XLA beam path (use_pallas=False)")
     if K % 128:
         # pad the state space to the lane tile: padded states score -inf
         # everywhere, and a real index (even an -inf tie) always has a
