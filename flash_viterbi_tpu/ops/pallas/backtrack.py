@@ -220,7 +220,19 @@ def _walk_kernel(last_ref, valid_ref, logAT_hbm, deltas_ref, path_ref,
     logAT_hbm: (K, S, 128) slabs in HBM; rows_buf: (N, S, 128) landing
     buffers.  ``masked``: an invalid (row, lane) keeps the lane state
     unchanged — the semantics of the stored-pointer path's identity rows
-    (``flash.decode_segments_pointer_pallas``)."""
+    (``flash.decode_segments_pointer_pallas``).
+
+    Lane pipelining (round 5): lanes are INDEPENDENT walk chains, so each
+    lane issues its NEXT row's column fetch immediately after computing
+    its state — lane n's DMA latency hides behind lanes n+1..N's compute
+    instead of a per-row issue-all pass paying N serialized scf.for
+    iterations (round 4's 23/48 µs/row at N=64/128).  The fetched column
+    depends only on the lane state, never the row index, so the prefetch
+    stays valid across chunk (grid-step) boundaries; the final grid step
+    drains the N dangling prefetches.  The initial issues and the drain
+    run python-unrolled: a DMA ``.start()`` inside an ``scf.for`` under
+    ``@pl.when`` deadlocks the Mosaic runtime (round-4 fact,
+    scripts/beam_dma_probe.py p3)."""
     g = pl.program_id(0)
     S = K // 128
     unroll = N <= _WALK_UNROLL_N
@@ -232,13 +244,15 @@ def _walk_kernel(last_ref, valid_ref, logAT_hbm, deltas_ref, path_ref,
             return acc
         return jax.lax.fori_loop(0, N, body, acc)
 
+    def copy(n, s):
+        return pltpu.make_async_copy(logAT_hbm.at[s], rows_buf.at[n],
+                                     sems.at[n])
+
     @pl.when(g == 0)
     def _():
-        def cp(n, c):
+        for n in range(N):  # unrolled: .start under pl.when must not loop
             states_s[0, n] = last_ref[0, n]
-            return c
-
-        lanes(cp, 0)
+            copy(n, jnp.minimum(last_ref[0, n], K - 1)).start()
 
     iota_g = (jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0) * 128
               + jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1))
@@ -248,18 +262,9 @@ def _walk_kernel(last_ref, valid_ref, logAT_hbm, deltas_ref, path_ref,
     def row(i, acc):
         r = C - 1 - i
 
-        def issue(n, c):
-            s = jnp.minimum(states_s[0, n], K - 1)  # contract: always < K
-            pltpu.make_async_copy(logAT_hbm.at[s], rows_buf.at[n],
-                                  sems.at[n]).start()
-            return c
-
-        lanes(issue, 0)
-
         def lane(n, acc):
-            s = jnp.minimum(states_s[0, n], K - 1)
-            pltpu.make_async_copy(logAT_hbm.at[s], rows_buf.at[n],
-                                  sems.at[n]).wait()
+            s = jnp.minimum(states_s[0, n], K - 1)  # contract: always < K
+            copy(n, s).wait()
             dr = deltas_ref[pl.ds(r, 1), pl.ds(n, 1)][0, 0]  # (S, 128)
             tmp = dr + rows_buf[pl.ds(n, 1)][0]
             m = jnp.max(tmp)
@@ -268,6 +273,9 @@ def _walk_kernel(last_ref, valid_ref, logAT_hbm, deltas_ref, path_ref,
                 idx = jnp.where(valid_ref[r, n] > 0, idx, s)
             acc = jnp.where((laneN == n) & (cpos == r), idx, acc)
             states_s[0, n] = idx
+            # pipeline: prefetch this lane's next walked column (the
+            # buffer read above precedes the start in program order)
+            copy(n, jnp.minimum(idx, K - 1)).start()
             return acc
 
         return lanes(lane, acc)
@@ -281,43 +289,75 @@ def _walk_kernel(last_ref, valid_ref, logAT_hbm, deltas_ref, path_ref,
         path_ref[0] = jax.lax.fori_loop(0, C, row,
                                         jnp.zeros((N, C), jnp.int32))
 
+    @pl.when(g == pl.num_programs(0) - 1)
+    def _():
+        for n in range(N):  # unrolled: see the g == 0 block
+            copy(n, jnp.minimum(states_s[0, n], K - 1)).wait()
 
-def _walk_kernel_resident(last_ref, logAT_ref, deltas_ref, path_ref,
-                          states_s, *, C: int, N: int, K: int):
-    """Resident variant: logAT lives in VMEM (K*K*4 small), so the walked
-    column is a dynamic sublane slice — no per-row DMA chain at all.  This
-    keeps the long-T small-K walk at streamed-chunk speed."""
+
+# -inf encode value for the resident variant's exact column select: no
+# legitimate log-probability reaches it (f32 logs bottom out near -103),
+# and 1.0 * (-3e38) is exact, so `cols == _NEG_ENC` identifies exactly
+# the -inf entries of logAT after the one-hot matmul
+_NEG_ENC = float(jnp.float32(-3.0e38))
+
+
+def _walk_kernel_resident(last_ref, valid_ref, logAT_ref, deltas_ref,
+                          path_ref, states_v, *, C: int, N: int, K: int,
+                          masked: bool):
+    """Resident variant: logAT lives in VMEM, and the whole row — column
+    select, argmax, state update — is ONE vectorized pass over all N
+    lanes, so per-row cost is flat in N (round 5; the round-4 form looped
+    a dynamic sublane slice + reduce per lane on the scalar-critical
+    path, ~0.36 µs/lane/row).
+
+    The N column reads are an exact one-hot matmul: rows of
+    ``oh = (iota == state)`` are exact {0,1}, so ``oh @ logAT_enc``
+    reproduces each selected row bit-exactly (every product is 0 or
+    1.0*x; the bf16x3 f32-emulation split of x is exact), with logAT's
+    -inf entries pre-encoded as ``_NEG_ENC`` (0 * -inf would poison the
+    dot with NaN) and restored by compare afterwards.  States stay a
+    (N, 1) VMEM vector end to end — no SMEM, no per-lane extracts."""
     g = pl.program_id(0)
 
     @pl.when(g == 0)
     def _():
-        def cp(n, c):
-            states_s[0, n] = last_ref[0, n]
-            return c
+        states_v[:] = last_ref[:]
 
-        jax.lax.fori_loop(0, N, cp, 0)
-
-    laneK = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    laneN = jax.lax.broadcasted_iota(jnp.int32, (N, C), 0)
+    iotaNK = jax.lax.broadcasted_iota(jnp.int32, (N, K), 1)
     cpos = jax.lax.broadcasted_iota(jnp.int32, (N, C), 1)
+    eyeN = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (N, N), 1))
 
-    def row(i, acc):
+    def row(i, carry):
+        st, acc = carry  # (N, 1) int32, (N, C) int32
         r = C - 1 - i
+        oh = (iotaNK == st).astype(jnp.float32)
+        # HIGHEST precision is required for bit-exactness: the default
+        # single-pass bf16 matmul truncates the selected f32 values; at
+        # HIGHEST the bf16x3 split recombines them exactly (the one-hot
+        # side is exact {0,1})
+        cols = jnp.dot(oh, logAT_ref[:], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        cols = jnp.where(cols == _NEG_ENC, _NEG, cols)
+        dr = deltas_ref[pl.ds(r, 1)][0]  # (N, K)
+        tmp = dr + cols
+        m = jnp.max(tmp, axis=1, keepdims=True)
+        idx = jnp.min(jnp.where(tmp == m, iotaNK, K), axis=1, keepdims=True)
+        if masked:
+            # the (1, N) valid row lives on lanes; move it to sublanes
+            # ((N, 1)) by an eye-masked lane reduce — no relayout op
+            vrow = valid_ref[pl.ds(r, 1), :]  # (1, N)
+            vcol = jnp.max(jnp.where(eyeN, jnp.broadcast_to(vrow, (N, N)),
+                                     0), axis=1, keepdims=True)
+            idx = jnp.where(vcol > 0, idx, st)
+        acc = jnp.where(cpos == r, idx, acc)
+        return (idx, acc)
 
-        def lane(n, acc):
-            s = jnp.minimum(states_s[0, n], K - 1)
-            col = logAT_ref[pl.ds(s, 1), :]  # (1, K) dynamic sublane read
-            dr = deltas_ref[pl.ds(r, 1), pl.ds(n, 1), :][0]  # (1, K)
-            tmp = dr + col
-            m = jnp.max(tmp)
-            idx = jnp.min(jnp.where(tmp == m, laneK, K))
-            acc = jnp.where((laneN == n) & (cpos == r), idx, acc)
-            states_s[0, n] = idx
-            return acc
-
-        return jax.lax.fori_loop(0, N, lane, acc)
-
-    path_ref[0] = jax.lax.fori_loop(0, C, row, jnp.zeros((N, C), jnp.int32))
+    st, acc = jax.lax.fori_loop(
+        0, C, row, (states_v[:], jnp.zeros((N, C), jnp.int32)))
+    path_ref[0] = acc
+    states_v[:] = st
 
 
 def _xla_walk_rows(rows, logAT, vrows, state):
@@ -400,40 +440,72 @@ def argmax_walk_pallas(deltas: jax.Array, logAT: jax.Array,
             pieces.append(jnp.transpose(tail))
         return jnp.concatenate(pieces, axis=1)
 
-    # resident route: logAT in VMEM kills the per-row DMA chain entirely
-    resident = (valid_i is None
-                and (K * K + 3 * _WALK_C * N * K) * 4 <= 12 * 1024 * 1024)
+    # resident route: logAT in VMEM kills the per-row DMA chain entirely,
+    # and the matmul kernel's per-row cost is flat in N.  The footprint
+    # model includes the HIGHEST-precision dot's bf16x3 scoped scratch
+    # (~K*K*4 bytes on top of the f32 table, calibrated against
+    # compile-time VMEM OOMs at K=2048/4096); shapes over the budget take
+    # the pipelined DMA kernel (unrolled lanes to N=16, ~0.4 µs/lane/row).
+    mm_bytes = (K * K * 8 + (2 * _WALK_C * N * K + 6 * N * K) * 4
+                + 12 * 1024 * 1024)
+    resident_mm = mm_bytes <= 118 * 1024 * 1024
     S = K // 128
-    if resident:
-        kernel = functools.partial(_walk_kernel_resident, C=C, N=N, K=K)
+    if resident_mm:
+        kernel = functools.partial(_walk_kernel_resident, C=C, N=N, K=K,
+                                   masked=valid_i is not None)
         in_specs = [
-            pl.BlockSpec((1, N), lambda g: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((N, 1), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, N), lambda g: (G - 1 - g, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((K, K), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, N, K), lambda g: (G - 1 - g, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        args = (state[None, :], logAT, deltas[:G * C])
-        scratch = [pltpu.SMEM((1, N), jnp.int32)]
-    else:
-        kernel = functools.partial(_walk_kernel, C=C, N=N, K=K,
-                                   masked=valid_i is not None)
-        in_specs = [
-            pl.BlockSpec((1, N), lambda g: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((C, N), lambda g: (G - 1 - g, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # logAT slabs stay in HBM
-            pl.BlockSpec((C, N, S, 128), lambda g: (G - 1 - g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
         v = (jnp.ones((G * C, N), jnp.int32) if valid_i is None
              else valid_i[:G * C])
-        args = (state[None, :], v, logAT.reshape(K, S, 128),
-                deltas[:G * C].reshape(G * C, N, S, 128))
-        scratch = [
-            pltpu.SMEM((1, N), jnp.int32),
-            pltpu.VMEM((N, S, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((N,)),
-        ]
+        logAT_res = jnp.where(jnp.isneginf(logAT), jnp.float32(_NEG_ENC),
+                              logAT)
+        args = (state[:, None], v, logAT_res, deltas[:G * C])
+        scratch = [pltpu.VMEM((N, 1), jnp.int32)]
+        out = pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, N, C), lambda g: (G - 1 - g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, N, C), jnp.int32),
+            scratch_shapes=scratch,
+            cost_estimate=pl.CostEstimate(
+                flops=3 * G * C * N * K,
+                bytes_accessed=G * C * N * (K + K) * 4, transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=mm_bytes),
+            interpret=interpret,
+        )(*args)
+        walked = jnp.moveaxis(out, 1, 0).reshape(N, G * C)
+        pieces = [walked, state[:, None]]
+        if rem:
+            pieces.append(jnp.transpose(tail))
+        return jnp.concatenate(pieces, axis=1)
+    kernel = functools.partial(_walk_kernel, C=C, N=N, K=K,
+                               masked=valid_i is not None)
+    in_specs = [
+        pl.BlockSpec((1, N), lambda g: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((C, N), lambda g: (G - 1 - g, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # logAT slabs stay in HBM
+        pl.BlockSpec((C, N, S, 128), lambda g: (G - 1 - g, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    v = (jnp.ones((G * C, N), jnp.int32) if valid_i is None
+         else valid_i[:G * C])
+    args = (state[None, :], v, logAT.reshape(K, S, 128),
+            deltas[:G * C].reshape(G * C, N, S, 128))
+    scratch = [
+        pltpu.SMEM((1, N), jnp.int32),
+        pltpu.VMEM((N, S, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((N,)),
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -448,8 +520,8 @@ def argmax_walk_pallas(deltas: jax.Array, logAT: jax.Array,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
-                100 * 1024 * 1024,
-                (2 * C * N * K + N * K) * 4 + 8 * 1024 * 1024)),
+                110 * 1024 * 1024,
+                (2 * C * N * K + 5 * N * K) * 4 + 8 * 1024 * 1024)),
         interpret=interpret,
     )(*args)
     walked = jnp.moveaxis(out, 1, 0).reshape(N, G * C)  # path[0..G*C-1]
