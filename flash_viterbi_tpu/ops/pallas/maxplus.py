@@ -56,14 +56,46 @@ def kernel_supported(K: int) -> bool:
     return True
 
 
+# double-buffered logA tile budget for the big-K tile search (round 5):
+# v5e has 128 MB physical VMEM; 17 MB admits the measured-fastest
+# (1024, 2048) tile at K >= 8192 (hw sweep in scripts/vpu_probe.py /
+# results/vpu_probe.json: 1.78 ms/step vs the round-4 (128, 8192)
+# fallback's 3.54 ms at K=16384, N=16 — config-5's phase A)
+_BIG_TILE_BUDGET = 17 * 1024 * 1024
+
+
 def _pick_tiles(K: int) -> tuple[int, int]:
     """(BK, BI): source-tile rows and dest-tile lanes.
 
-    BK must stay >= 128 (lane slices of the carry must be 128-aligned); when
-    the (BK, K) tile would blow VMEM, the destination dim is tiled instead.
+    BK must stay >= 128 (lane slices of the carry must be 128-aligned).
+    For K < 8192 a full-width (BK, K) tile fits the 12 MB budget and the
+    measured optimum keeps it (BK=256, BI=K at K=4096 beat every
+    alternative on hw).  At K >= 8192 full width would force BK=128,
+    which runs at barely half the VPU rate of a square-ish tile — there
+    the search maximizes tile area, preferring tall tiles (the hw sweep
+    ranks (1024, 2048) > (512, 2048) > (512, 4096) > (256, 4096) >>
+    (128, 8192)).  Tiling is numerics-free: max is associative and tiles
+    are visited in ascending source order, so the strict-greater combine
+    keeps the lowest-index argmax contract at any (BK, BI).
     """
     if K % 8 or (K % 128 and K > 128):
         raise ValueError(f"K={K} must be a multiple of 8 (pad the model first)")
+    if K >= 8192:
+        best = None
+        for bk in (1024, 512, 256, 128):
+            if K % bk:
+                continue
+            bi = K
+            while bi > 128 and 2 * bk * bi * 4 > _BIG_TILE_BUDGET:
+                bi //= 2
+            if bi < 128 or K % bi or 2 * bk * bi * 4 > _BIG_TILE_BUDGET:
+                continue
+            cand = (bk * bi, bk, bi)  # area first, then taller
+            if best is None or cand > best:
+                best = cand
+        if best is None:
+            raise ValueError(f"cannot tile K={K} into VMEM")
+        return best[1], best[2]
     for bk in (512, 256, 128):
         if K % bk == 0 and 2 * bk * K * 4 <= _VMEM_BUDGET:
             return bk, K
@@ -234,7 +266,7 @@ def maxplus_scan_deltas(logA: jax.Array, emits: jax.Array, delta0: jax.Array,
             vmem_limit_bytes=min(
                 100 * 1024 * 1024,
                 4 * (2 * BK * BI + 2 * max(N, 8) * K + 6 * max(N, 8) * BI)
-                + 8 * 1024 * 1024)),
+                + 12 * 1024 * 1024)),
         interpret=interpret,
     )(delta0, logA, emits)
     return dfin, deltas
@@ -466,7 +498,7 @@ def maxplus_scan(logA: jax.Array, emits: jax.Array, delta0: jax.Array,
             vmem_limit_bytes=min(
                 100 * 1024 * 1024,
                 4 * (2 * BK * BI + 2 * max(N, 8) * K + 6 * max(N, 8) * BI)
-                + 8 * 1024 * 1024)),
+                + 12 * 1024 * 1024)),
         interpret=interpret,
     )(delta0, logA, emits)
     return dfin, ptrs

@@ -118,10 +118,21 @@ def analyze(mesh_shape: tuple[int, int, int], K: int, T: int, batch: int,
     ideal = B * K * K * ((T - 1) + max(T - num_segments, 1)) / (d * s * t)
 
     # --- per-device ICI bytes ---
-    # state axis: delta fp32 + ptr int32 all_gather per step, both phases
+    # state axis: delta fp32 + ptr int32 all_gather per step, both phases,
+    # plus the boundary gathers the round-4 model missed (attributed via
+    # the jaxpr trace, round 5): phase 1 adds 2 fp32 + 1 int32 (mb, K)
+    # gathers per pipeline tick (delta0 init + final-boundary delta +
+    # boundary ptr), phase 2 adds 2 fp32 per decoded (sequence, segment)
+    # lane (init + final-argmax delta).  Phase 2 runs L - spd real steps
+    # per sequence (the round-4 formula said L - 1 — an overcount that
+    # partially hid the missing boundary terms inside the old 15% slack).
     frac_t = (t - 1) / t if t > 1 else 0.0
-    steps_dev = ticks * mb * max(L - 1, 1) + Bd * max(L - 1, 1)
-    bytes_state = steps_dev * 2 * K * 4 * frac_t
+    steps_p1 = ticks * mb * max(L - 1, 1)
+    steps_p2 = Bd * max(L - spd, 1)
+    rows_state = (2 * (steps_p1 + steps_p2)      # per-step delta + ptr
+                  + 3 * mb * ticks               # phase-1 tick boundaries
+                  + 2 * Bd * spd)                # phase-2 lane boundaries
+    bytes_state = rows_state * K * 4 * frac_t
     # seq axis: (mb, K) fp32 ppermute per tick; (s, Bd, K) plane + final
     # gathers; (Bd, T) int32 psum (log2 s stages, bidirectional halving)
     bytes_seq = 0.0

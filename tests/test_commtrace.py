@@ -1,17 +1,13 @@
 """The scaling model's comm terms vs the program that actually runs.
 
-VERDICT r3 weak #7: ``parallel.scaling.analyze``'s pipeline-bubble and
-gather-bytes terms had never been validated against a trace.  Here the
-jaxpr-level tracer (``parallel.commtrace``) counts every collective the
-pipelined sharded decode issues on a virtual mesh (scan trip counts
-multiplied through) and pins:
-
-* ppermute bytes EXACTLY equal the model's delta-hop term — the tick
-  count inside is the pipeline bubble, so this pins the bubble formula;
-* psum bytes EXACTLY equal the model's path-psum term;
-* total per-device received bytes within 15% of the model (the state
-  gathers moved from 2-per-step (delta+ptr) to the recompute pipeline's
-  delta-gather + walk-column fetches; volumes stay equivalent).
+VERDICT r3 weak #7 / r4 item 4: ``parallel.scaling.analyze``'s comm
+terms validated against the jaxpr-level tracer (``parallel.commtrace``),
+which counts every collective the pipelined sharded decode issues on a
+virtual mesh (scan trip counts multiplied through).  As of round 5 every
+kind is pinned EXACTLY — ppermute (the tick count inside is the pipeline
+bubble), psum (path reduce), all_gather (per-step state gathers + the
+phase-1 per-tick and phase-2 per-lane boundary gathers the round-4 model
+missed — the source of its 15% slack), and therefore the total.
 """
 
 import math
@@ -37,18 +33,29 @@ def test_model_matches_traced_collectives(shape, batch, segs, mb):
     rep = analyze(shape, K=K, T=T, batch=batch, num_segments=segs,
                   microbatch=mb)
 
-    # model's individual seq-axis terms (mirror analyze()'s formulas)
+    # model's individual terms (mirror analyze()'s formulas)
     Bd = batch // d
-    n_mb = Bd // min(mb, Bd)
+    mbe = min(mb, Bd)
+    n_mb = Bd // mbe
     ticks = n_mb + s - 1
-    hop_bytes = ticks * min(mb, Bd) * K * 4 if s > 1 else 0
+    L = T // s
+    spd = max(1, segs // s)
+    hop_bytes = ticks * mbe * K * 4 if s > 1 else 0
     psum_bytes = (math.ceil(math.log2(s)) * Bd * T * 4) if s > 1 else 0
+    frac_t = (t - 1) / t if t > 1 else 0.0
+    rows_state = (2 * (ticks * mbe * max(L - 1, 1) + Bd * max(L - spd, 1))
+                  + 3 * mbe * ticks + 2 * Bd * spd)
+    gather_bytes = rows_state * K * 4 * frac_t
+    if s > 1:  # seq-axis plane + finals gathers
+        gather_bytes += (s - 1) * Bd * K * 4 + (s - 1) * Bd * 4
 
     traced_hop = got.get("ppermute", {}).get("bytes", 0)
     traced_psum = got.get("psum", {}).get("bytes", 0)
+    traced_gather = got.get("all_gather", {}).get("bytes", 0)
     assert traced_hop == hop_bytes, (traced_hop, hop_bytes)
     assert traced_psum == psum_bytes, (traced_psum, psum_bytes)
+    assert traced_gather == gather_bytes, (traced_gather, gather_bytes)
 
     total = sum(v["bytes"] for v in got.values())
-    assert total == pytest.approx(rep.ici_bytes_per_device, rel=0.15), (
+    assert total == rep.ici_bytes_per_device, (
         total, rep.ici_bytes_per_device)
