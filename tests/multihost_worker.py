@@ -64,10 +64,11 @@ def main():
     logPi = jnp.asarray(lh.logPi)
     y_np = np.asarray(y, np.int32)
     rng = np.random.RandomState(0)
-    ys_np = np.stack([y_np, rng.randint(0, hmm.M, size=len(y_np)).astype(np.int32),
-                      y_np[::-1].copy(), (y_np + 1) % hmm.M])
+    B = max(4, nproc)  # the data axis (nproc) must divide the batch
+    ys_np = np.stack([np.asarray(rng.randint(0, hmm.M, size=len(y_np)),
+                                 np.int32) for _ in range(B - 1)] + [y_np])
 
-    # global (4, T) batch: each process materializes it fully and the mesh
+    # global (B, T) batch: each process materializes it fully and the mesh
     # sharding splits rows over the data axis (process-spanning)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -81,7 +82,7 @@ def main():
 
     # check the locally addressable rows against a single-chip decode
     for shard in out.addressable_shards:
-        rows = range(*shard.index[0].indices(4))
+        rows = range(*shard.index[0].indices(B))
         for j, b in enumerate(rows):
             ref = np.asarray(flash_decode(logA, logB, logPi,
                                           jnp.asarray(ys_np[b]),
