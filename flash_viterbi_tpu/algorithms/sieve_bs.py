@@ -666,9 +666,10 @@ def sieve_bs_decode_many(logA, logB_raw, logPi, ys, beam_width: int,
 
 
 def _memory(K: int, T: int, beam_width: int = 64, **_) -> int:
-    # per node: T1/median carries (5 K-vectors) + the (T, K) beam log +
-    # b-hop count vectors; derived from the decoder's actual live buffers
-    return 5 * K * 4 + T * K * 4 + 2 * K * 4
+    # device engine live buffers: node masks (T, K) bool + token sets
+    # (T, K) f32 + the (T, K) beam-log scratch + forward carries (5
+    # K-vectors) + b-hop counts + the int32 node table (~12 T-vectors)
+    return T * K * (1 + 4 + 4) + 7 * K * 4 + 12 * T * 4
 
 
 @register("sieve_bs")

@@ -560,9 +560,10 @@ def _flatten(pairs: list[tuple[int, int]], T: int) -> np.ndarray:
 
 
 def _memory(K: int, T: int, **_) -> int:
-    # per node: T1 + 4 median carries (5 K-vectors f32/int32) + the two
-    # count vectors + the (L, K) emission gather at the root
-    return 5 * K * 4 + 2 * K * 4 + T * K * 4
+    # device engine live buffers: node masks (T, K) bool + forward
+    # carries (5 K-vectors f32/int32) + the two count vectors + the
+    # int32 node table (~11 T-vectors)
+    return T * K + 7 * K * 4 + 11 * T * 4
 
 
 @register("sieve")
