@@ -148,6 +148,41 @@ def test_sieve_bs_registered(small_problem):
     r = decode(hmm, y, algorithm="sieve_bs", beam_width=8, pad_to=1,
                warmup=False)
     assert r.path.shape[0] == len(y)
+
+
+@pytest.mark.parametrize("K,M,T,prob,seed,bw,dag", [
+    (48, 8, 33, 0.15, 1, 8, False),
+    (96, 10, 48, 0.1, 2, 6, False),
+    (64, 10, 32, 0.1, 2, 0, True),
+    (96, 12, 48, 0.08, 4, 0, False),
+])
+def test_device_engines_match_host_schedulers(K, M, T, prob, seed, bw, dag):
+    """Round-5 on-device recursion engines vs the round-4 host-driven
+    level schedulers: identical pair lists, per node, per fixture —
+    the two executions of the same per-node math must never diverge."""
+    import jax.numpy as jnp
+
+    from flash_viterbi_tpu.algorithms.sieve_bs import sieve_bs_decode
+    from flash_viterbi_tpu.algorithms.sieve_dyn import sieve_dynamic_decode_many
+    from flash_viterbi_tpu.models.generate import make_dag_hmm, make_sparse_hmm
+
+    if dag:
+        hmm, y = make_dag_hmm(K=K, M=M, T=T, seed=seed, sanitize=True)
+    else:
+        hmm, y = make_sparse_hmm(K=K, M=M, T=T, prob=prob, seed=seed)
+    lh = hmm.log()
+    tbl = (jnp.asarray(lh.logA), jnp.asarray(lh.logB), jnp.asarray(lh.logPi))
+    if bw:
+        dev = sieve_bs_decode(*tbl, np.asarray(y), beam_width=bw,
+                              engine="device")
+        host = sieve_bs_decode(*tbl, np.asarray(y), beam_width=bw,
+                               engine="host")
+    else:
+        dev = sieve_dynamic_decode_many(*tbl, np.asarray(y)[None], dag=dag,
+                                        engine="device")[0]
+        host = sieve_dynamic_decode_many(*tbl, np.asarray(y)[None], dag=dag,
+                                         engine="host")[0]
+    assert dev == host
     assert r.memory_bytes > 0
 
 
