@@ -148,6 +148,7 @@ def test_sieve_bs_registered(small_problem):
     r = decode(hmm, y, algorithm="sieve_bs", beam_width=8, pad_to=1,
                warmup=False)
     assert r.path.shape[0] == len(y)
+    assert r.memory_bytes > 0
 
 
 @pytest.mark.parametrize("K,M,T,prob,seed,bw,dag", [
@@ -183,7 +184,6 @@ def test_device_engines_match_host_schedulers(K, M, T, prob, seed, bw, dag):
         host = sieve_dynamic_decode_many(*tbl, np.asarray(y)[None], dag=dag,
                                          engine="host")[0]
     assert dev == host
-    assert r.memory_bytes > 0
 
 
 def test_beam_full_width_equals_vanilla(small_problem):
