@@ -81,31 +81,6 @@ def _beam_vals(T1, touched):
                      _SENT_UNTOUCHED)
 
 
-def _topk_beam(bvals, B: int):
-    """Exact ``jax.lax.top_k`` replacement, two-stage over 128-lane
-    segments.
-
-    A flat K-wide ``top_k`` costs ~212 µs/step at K=3968 on the v5e and
-    dominates the on-device sieve_bs headline; per-segment top-B then a
-    top-B merge over the S*B candidates is far cheaper and EXACT
-    including tie order: ``top_k`` breaks value ties by lower index, so
-    within a segment candidates surface in index order, and the merged
-    candidate array is segment-major == global-index-major — the second
-    ``top_k``'s positional tie-break therefore equals the flat one's
-    lowest-global-index rule.
-    """
-    K = bvals.shape[0]
-    if K % 128 or K < 1024 or B > 128:
-        _, idx = jax.lax.top_k(bvals, B)
-        return idx
-    S = K // 128
-    v1, i1 = jax.lax.top_k(bvals.reshape(S, 128), min(B, 128))
-    gidx = (jnp.arange(S, dtype=jnp.int32)[:, None] * 128
-            + i1.astype(jnp.int32)).reshape(-1)
-    _, i = jax.lax.top_k(v1.reshape(-1), B)
-    return gidx[i]
-
-
 @partial(jax.jit, static_argnames=("hops",))
 def _bhop_counts(A_posF, hops: int):
     """(#<=hops-edge ancestors, #descendants) per state — the reference's
@@ -205,7 +180,7 @@ def _node_forward_impl(logA, emitQ, A_posF, anc_cnt, desc_cnt, logPi,
     T1 = jnp.where(touched, T1, NEG)
 
     bvals = _beam_vals(T1, touched)
-    bidx = _topk_beam(bvals, B)
+    _, bidx = jax.lax.top_k(bvals, B)
     eff = jnp.minimum(B, jnp.sum(touched))
     slot_ok = jnp.arange(B) < eff
     tokm = jnp.zeros((K,), jnp.float32).at[bidx].max(slot_ok.astype(jnp.float32))
@@ -217,14 +192,19 @@ def _node_forward_impl(logA, emitQ, A_posF, anc_cnt, desc_cnt, logPi,
         T1, mx, my, mn, mval, bidx, eff, touched, beams = carry
         j, emit_row = x
 
+        src_valid = jnp.arange(B) < eff
+        rows = logA[bidx]
         nT1, nmx, nmy, nmn, nmval = _vec_step(
-            T1[bidx], bidx, jnp.arange(B) < eff, logA[bidx], emit_row,
+            T1[bidx], bidx, src_valid, rows, emit_row,
             mask, anc_cnt[bidx], desc_cnt, mx[bidx], my[bidx], mn[bidx],
             mval[bidx], j, Thalf, iota)
 
-        ntouched = jnp.logical_and((tokm_of(bidx, eff) @ A_posF) > 0, mask > 0)
+        # touched == reachable-from-beam: OR of the already-gathered beam
+        # rows' edge masks — replaces a K x K matvec per step
+        ntouched = jnp.logical_and(
+            jnp.any((rows > NEG) & src_valid[:, None], axis=0), mask > 0)
         nbvals = _beam_vals(nT1, ntouched)
-        nbidx = _topk_beam(nbvals, B)
+        _, nbidx = jax.lax.top_k(nbvals, B)
         neff = jnp.minimum(B, jnp.sum(ntouched))
         ntok = tokm_of(nbidx, neff)
         nbeams = beams.at[j].set(ntok)
@@ -353,7 +333,7 @@ def _device_recursion(logA, emitQ, A_posF, A_posT, anc_cnt, desc_cnt,
                 jnp.int32(1), Thalf, iota)
             touched = ((tok0 @ A_posF) > 0) & mask
             T1 = jnp.where(touched, T1, NEGj)
-            bidx = _topk_beam(_beam_vals(T1, touched), B)
+            _, bidx = jax.lax.top_k(_beam_vals(T1, touched), B)
             eff = jnp.minimum(B, jnp.sum(touched))
             tokm = jnp.zeros((K,), jnp.float32).at[bidx].max(
                 (iotaB < eff).astype(jnp.float32))
@@ -361,16 +341,19 @@ def _device_recursion(logA, emitQ, A_posF, A_posT, anc_cnt, desc_cnt,
 
             def tbody(c):
                 j, T1, mx, my, mn, mval, bidx, eff, touched, beams = c
+                src_valid = iotaB < eff
+                rows = logA[bidx]
                 nT1, nmx, nmy, nmn, nmval = _vec_step(
-                    T1[bidx], bidx, iotaB < eff, logA[bidx],
+                    T1[bidx], bidx, src_valid, rows,
                     emitQ[:, y[lo + j]], mask, anc_cnt[bidx], desc_cnt,
                     mx[bidx], my[bidx], mn[bidx], mval[bidx], j, Thalf,
                     iota)
-                tokm = jnp.zeros((K,), jnp.float32).at[bidx].max(
-                    (iotaB < eff).astype(jnp.float32))
-                ntouched = ((tokm @ A_posF) > 0) & mask
+                # reachable-from-beam via the gathered rows' edge masks
+                # (no K x K matvec per step)
+                ntouched = jnp.any((rows > NEG) & src_valid[:, None],
+                                   axis=0) & mask
                 nT1 = jnp.where(ntouched, nT1, NEGj)
-                nbidx = _topk_beam(_beam_vals(nT1, ntouched), B)
+                _, nbidx = jax.lax.top_k(_beam_vals(nT1, ntouched), B)
                 neff = jnp.minimum(B, jnp.sum(ntouched))
                 ntokm = jnp.zeros((K,), jnp.float32).at[nbidx].max(
                     (iotaB < neff).astype(jnp.float32))

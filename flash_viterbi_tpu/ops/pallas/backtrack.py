@@ -360,6 +360,47 @@ def _walk_kernel_resident(last_ref, valid_ref, logAT_ref, deltas_ref,
     states_v[:] = st
 
 
+def _walk_kernel_resident_small(last_ref, valid_ref, logAT_ref, deltas_ref,
+                                path_ref, states_s, *, C: int, N: int,
+                                K: int, masked: bool):
+    """Resident variant for few lanes at small K: per-lane dynamic
+    sublane slices of the VMEM-resident logAT (~0.36 µs/lane/row at
+    K=1024) — no DMA chain, and none of the matmul variant's per-row
+    MXU launch cost, which dominates at small N (a K=1024 N=1 walk
+    measured 3x slower on the matmul path — round-5 regression caught
+    by the checkpoint/fused harness rows)."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        for n in range(N):
+            states_s[0, n] = last_ref[0, n]
+
+    laneK = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    laneN = jax.lax.broadcasted_iota(jnp.int32, (N, C), 0)
+    cpos = jax.lax.broadcasted_iota(jnp.int32, (N, C), 1)
+
+    def row(i, acc):
+        r = C - 1 - i
+        for n in range(N):
+            s = jnp.minimum(states_s[0, n], K - 1)
+            col = logAT_ref[pl.ds(s, 1), :]  # (1, K) dynamic sublane read
+            dr = deltas_ref[pl.ds(r, 1), pl.ds(n, 1), :][0]  # (1, K)
+            tmp = dr + col
+            m = jnp.max(tmp)
+            idx = jnp.min(jnp.where(tmp == m, laneK, K))
+            if masked:
+                idx = jnp.where(valid_ref[r, n] > 0, idx, s)
+            acc = jnp.where((laneN == n) & (cpos == r), idx, acc)
+            states_s[0, n] = idx
+        return acc
+
+    acc = jnp.zeros((N, C), jnp.int32)
+    for i in range(C):
+        acc = row(i, acc)
+    path_ref[0] = acc
+
+
 def _xla_walk_rows(rows, logAT, vrows, state):
     """Walk `rows` (R, N, K) backwards in plain XLA (the < C ragged tail,
     and the whole walk when K is not lane-aligned).  Returns (state before
@@ -440,16 +481,60 @@ def argmax_walk_pallas(deltas: jax.Array, logAT: jax.Array,
             pieces.append(jnp.transpose(tail))
         return jnp.concatenate(pieces, axis=1)
 
-    # resident route: logAT in VMEM kills the per-row DMA chain entirely,
-    # and the matmul kernel's per-row cost is flat in N.  The footprint
-    # model includes the HIGHEST-precision dot's bf16x3 scoped scratch
-    # (~K*K*4 bytes on top of the f32 table, calibrated against
-    # compile-time VMEM OOMs at K=2048/4096); shapes over the budget take
-    # the pipelined DMA kernel (unrolled lanes to N=16, ~0.4 µs/lane/row).
+    # resident routes: logAT in VMEM kills the per-row DMA chain
+    # entirely.  Two variants by lane count (both hw-measured, round 5):
+    # few lanes at small K walk fastest on per-lane dynamic slices
+    # (~0.36 µs/lane/row at K=1024; the matmul kernel's per-row MXU
+    # launch dominates at small N — 3x slower at N=1); many lanes walk
+    # fastest on the vectorized one-hot-matmul kernel (flat ~2-9 µs/row
+    # to N=128), whose footprint model includes the HIGHEST-precision
+    # dot's bf16x3 scoped scratch (~K*K*4 bytes over the f32 table,
+    # calibrated against compile-time VMEM OOMs at K=2048/4096).
+    # Everything else takes the pipelined DMA kernel (unrolled lanes to
+    # N=16, ~0.4 µs/lane/row).
     mm_bytes = (K * K * 8 + (2 * _WALK_C * N * K + 6 * N * K) * 4
                 + 12 * 1024 * 1024)
-    resident_mm = mm_bytes <= 118 * 1024 * 1024
+    resident_small = N <= _WALK_UNROLL_N and K <= 1024
+    resident_mm = (not resident_small and N > _WALK_UNROLL_N
+                   and mm_bytes <= 118 * 1024 * 1024)
     S = K // 128
+    if resident_small:
+        kernel = functools.partial(_walk_kernel_resident_small, C=C, N=N,
+                                   K=K, masked=valid_i is not None)
+        in_specs = [
+            pl.BlockSpec((1, N), lambda g: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, N), lambda g: (G - 1 - g, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, K), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, N, K), lambda g: (G - 1 - g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        v = (jnp.ones((G * C, N), jnp.int32) if valid_i is None
+             else valid_i[:G * C])
+        args = (state[None, :], v, logAT, deltas[:G * C])
+        out = pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, N, C), lambda g: (G - 1 - g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, N, C), jnp.int32),
+            scratch_shapes=[pltpu.SMEM((1, N), jnp.int32)],
+            cost_estimate=pl.CostEstimate(
+                flops=3 * G * C * N * K,
+                bytes_accessed=G * C * N * (K + K) * 4, transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(
+                    110 * 1024 * 1024,
+                    (K * K + 2 * C * N * K + 2 * N * K) * 4
+                    + 8 * 1024 * 1024)),
+            interpret=interpret,
+        )(*args)
+        walked = jnp.moveaxis(out, 1, 0).reshape(N, G * C)
+        pieces = [walked, state[:, None]]
+        if rem:
+            pieces.append(jnp.transpose(tail))
+        return jnp.concatenate(pieces, axis=1)
     if resident_mm:
         kernel = functools.partial(_walk_kernel_resident, C=C, N=N, K=K,
                                    masked=valid_i is not None)
