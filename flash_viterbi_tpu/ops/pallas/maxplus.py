@@ -491,14 +491,17 @@ def maxplus_scan(logA: jax.Array, emits: jax.Array, delta0: jax.Array,
             transcendentals=0,
         ),
         # the default scoped-VMEM limit is ~16 MB; at K=16384 the
-        # double-buffered (128, 8192) tile + the lane-padded carry blocks
+        # double-buffered tall tile + the lane-padded carry blocks
         # legitimately need more (v5e has 128 MiB physical VMEM) — size the
-        # limit from the actual buffers instead of failing at compile
+        # limit from the actual buffers instead of failing at compile.
+        # This pointer variant carries the int32 acca scratch + ptr output
+        # blocks on top of the deltas variant (+5 MB at the round-5
+        # (1024, 2048) tiles, measured via compile-time OOM on hw)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 100 * 1024 * 1024,
-                4 * (2 * BK * BI + 2 * max(N, 8) * K + 6 * max(N, 8) * BI)
-                + 12 * 1024 * 1024)),
+                4 * (2 * BK * BI + 2 * max(N, 8) * K + 8 * max(N, 8) * BI)
+                + 18 * 1024 * 1024)),
         interpret=interpret,
     )(delta0, logA, emits)
     return dfin, ptrs
