@@ -95,7 +95,7 @@ def main() -> None:
         def chain(logA, logB, logPi, yd, k):
             p = None
             for _ in range(k):
-                p = flash_decode(logA, logB, logPi, yd, num_segments=8,
+                p = flash_decode(logA, logB, logPi, yd, num_segments=16,
                                  use_pallas=use_pallas)
                 # data dependency that provably cannot change logPi's bits
                 logPi = logPi + p[0].astype(jnp.float32) * jnp.float32(1e-30)
@@ -147,7 +147,7 @@ def main() -> None:
         "unit": "updates/s",
         "vs_baseline": updates_per_s / BASELINE_UPDATES_PER_S,
         "wall_s": wall,
-        "config": f"K={K},T={T},prob={PROB},flash N=8 pallas={on_tpu}",
+        "config": f"K={K},T={T},prob={PROB},flash N=16 pallas={on_tpu}",
         "exact_path_parity": parity,
         "device": str(dev),
     }

@@ -104,9 +104,14 @@ def rank(K: int, T: int, beam_width: int | None = None) -> list[tuple[str, dict]
                     ("flash", {"mode": "lean"})]
         return [("checkpoint", {}), ("flash", {"mode": "lean"})]
     if K <= RESIDENT_MAX_K:
-        return [("fused", {}), ("flash", {"num_segments": 8}),
+        return [("fused", {}), ("flash", {"num_segments": 16}),
                 ("checkpoint", {}), ("flash", {"mode": "lean"})]
-    return [("flash", {"num_segments": 8}), ("checkpoint", {}),
+    # num_segments=16 measured fastest across the mid/large-K shapes in
+    # round 5 (results/round5_measure.log sweep: headline 13.0 -> 10.2 ms,
+    # K=2048/T=512 6.11 -> 5.86, K=8192 102 -> 98; 32+ regresses — the
+    # phase-1 plane work grows with N while phase-2's shared logA stream
+    # stops being the bottleneck)
+    return [("flash", {"num_segments": 16}), ("checkpoint", {}),
             ("fused", {}), ("flash", {"mode": "lean"})]
 
 

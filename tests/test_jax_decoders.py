@@ -101,7 +101,7 @@ def test_auto_selection_rules():
     memory budget by falling back to leaner modes."""
     from flash_viterbi_tpu.algorithms.auto import choose, device_working_set
 
-    assert choose(4096, 256) == ("flash", {"num_segments": 8})
+    assert choose(4096, 256) == ("flash", {"num_segments": 16})
     assert choose(1024, 256) == ("fused", {})  # VMEM-resident K
     # long T: fused + chunk-streamed backtrack measured 301 G vs
     # checkpoint's 146-223 G (round-3 hw queue) while the (T, K) pointer
