@@ -168,16 +168,26 @@ def _node_forward_impl(logA, emitQ, A_posF, anc_cnt, desc_cnt, logPi,
     # model Pi at every node (SIEVE-BS.c:367), not Baseline.py's uniform
     T1_0 = jnp.where(mask > 0, logPi + emit0, NEG)
 
-    # --- step j=1: all K token states are sources (no beam yet); the
-    # fresh median carry (mval=+inf) makes every record point write ------
+    # --- step j=1: all K token states are sources (no beam yet).  The
+    # median carry is fresh (mval=+inf) so EVERY record point writes and
+    # the last writing record is simply the first-occurrence argmax —
+    # the dense form costs ~4 passes over the (K, K) candidates where the
+    # general record-point machinery costs ~30 incl. a log-depth cummax
+    # (this j=1 step dominated the on-device headline before round 5's
+    # specialization: ~10 ms x 253 nodes) -------------------------------
     emit1 = emitQ[:, y_seg[1]]
-    T1, mx, my, mn, mval = _vec_step(
-        T1_0, iota, tokens0 > 0, logA, emit1, mask, anc_cnt, desc_cnt,
-        jnp.full((K,), -1, jnp.int32), jnp.full((K,), -1, jnp.int32),
-        jnp.zeros((K,), jnp.int32), jnp.full((K,), jnp.inf, jnp.float32),
-        jnp.int32(1), Thalf, iota)
+    src = jnp.where(tokens0 > 0, T1_0, NEG)
+    cand = jnp.where(A_posF > 0, src[:, None] + logA, NEG) + emit1[None, :]
+    cand = jnp.where(mask[None, :] > 0, cand, NEG)
+    t1 = jnp.max(cand, axis=0)
+    winner = jnp.argmax(cand, axis=0).astype(jnp.int32)
     touched = jnp.logical_and((tokens0 @ A_posF) > 0, mask > 0)
-    T1 = jnp.where(touched, T1, NEG)
+    won = jnp.logical_and(touched, t1 > NEG)
+    mx = jnp.where(won, winner, -1).astype(jnp.int32)
+    my = jnp.where(won, iota, -1).astype(jnp.int32)
+    mn = jnp.where(won, 1, 0).astype(jnp.int32)
+    mval = jnp.where(won, jnp.maximum(anc_cnt[winner], desc_cnt), jnp.inf)
+    T1 = jnp.where(touched, t1, NEG)
 
     bvals = _beam_vals(T1, touched)
     _, bidx = jax.lax.top_k(bvals, B)
@@ -324,15 +334,23 @@ def _device_recursion(logA, emitQ, A_posF, A_posT, anc_cnt, desc_cnt,
             Thalf = L.astype(jnp.float32) / 2.0
             tok0 = tokens[nid]
             T1_0 = jnp.where(mask, logPi + emitQ[:, y[lo]], NEGj)
-            T1, mx, my, mn, mval = _vec_step(
-                T1_0, iota, tok0 > 0, logA, emitQ[:, y[lo + 1]], mask,
-                anc_cnt, desc_cnt,
-                jnp.full((K,), -1, jnp.int32), jnp.full((K,), -1, jnp.int32),
-                jnp.zeros((K,), jnp.int32),
-                jnp.full((K,), jnp.inf, jnp.float32),
-                jnp.int32(1), Thalf, iota)
+            # j=1 dense step, first-argmax specialization (see
+            # _node_forward_impl — the fresh carry makes it exact)
+            emit1 = emitQ[:, y[lo + 1]]
+            src = jnp.where(tok0 > 0, T1_0, NEGj)
+            cand = (jnp.where(A_posF > 0, src[:, None] + logA, NEGj)
+                    + emit1[None, :])
+            cand = jnp.where(mask[None, :], cand, NEGj)
+            t1 = jnp.max(cand, axis=0)
+            winner = jnp.argmax(cand, axis=0).astype(jnp.int32)
             touched = ((tok0 @ A_posF) > 0) & mask
-            T1 = jnp.where(touched, T1, NEGj)
+            won = touched & (t1 > NEGj)
+            mx = jnp.where(won, winner, -1).astype(jnp.int32)
+            my = jnp.where(won, iota, -1).astype(jnp.int32)
+            mn = jnp.where(won, 1, 0).astype(jnp.int32)
+            mval = jnp.where(won, jnp.maximum(anc_cnt[winner], desc_cnt),
+                             jnp.inf)
+            T1 = jnp.where(touched, t1, NEGj)
             _, bidx = jax.lax.top_k(_beam_vals(T1, touched), B)
             eff = jnp.minimum(B, jnp.sum(touched))
             tokm = jnp.zeros((K,), jnp.float32).at[bidx].max(
