@@ -338,3 +338,31 @@ def test_walk_kernel_wide_lanes_on_hw(tpu_backend):
         _, ptrs = mp.forward_scan(delta0[n], logA, emits[:, n])
         want = np.asarray(mp.backtrack(ptrs, last[n]))
         np.testing.assert_array_equal(got[n], want)
+
+
+def test_sieve_device_engines_on_hw(tpu_backend):
+    """Round-5 on-device recursion engines on real hardware: the whole
+    data-dependent tree as one dispatch must match the host scheduler
+    (same per-node math, different execution) bit-for-bit."""
+    import jax.numpy as jnp
+
+    import flash_viterbi_tpu as fvt
+    from flash_viterbi_tpu.algorithms.sieve_bs import sieve_bs_decode
+    from flash_viterbi_tpu.algorithms.sieve_dyn import (
+        sieve_dynamic_decode_many,
+    )
+
+    hmm, y = fvt.make_sparse_hmm(K=96, M=10, T=48, prob=0.15, seed=3)
+    lh = hmm.log()
+    tbl = (jnp.asarray(lh.logA), jnp.asarray(lh.logB),
+           jnp.asarray(lh.logPi))
+    dev = sieve_bs_decode(*tbl, np.asarray(y), beam_width=8,
+                          engine="device")
+    host = sieve_bs_decode(*tbl, np.asarray(y), beam_width=8,
+                           engine="host")
+    assert dev == host
+    d2 = sieve_dynamic_decode_many(*tbl, np.asarray(y)[None],
+                                   engine="device")[0]
+    h2 = sieve_dynamic_decode_many(*tbl, np.asarray(y)[None],
+                                   engine="host")[0]
+    assert d2 == h2
