@@ -7,22 +7,25 @@ transition minimizing ``max(#b-hop-ancestors(x_a), #b-hop-descendants(x_b))``
 with a ``|j - T/2|`` closeness tie-break, then splits the segment there.
 
 TPU redesign: the split sizes are runtime data, so — unlike ``sieve_mp``'s
-static tree — the recursion cannot be a fixed level-batched program.  The
-decomposition here:
+static tree — the recursion cannot be a fixed level-batched program.
+The round-5 decomposition (``engine="device"``, the default):
 
-* **All trellis math runs on device.**  Each recursion node's forward pass
-  is one jitted function (auto-memoized per segment length): a dense
-  masked beam step with the dynamic-median carry vectorized over all K
-  destinations, and the *sequential candidate semantics* of the reference
-  (beam-ordered source iteration with strictly-greater improvement, the
-  stale-median no-write quirk, median inheritance from the source's path)
-  reproduced exactly by a ``lax.scan`` over the B beam slots.
+* **The ENTIRE recursion tree runs on device in one dispatch**
+  (:func:`_device_recursion`): an explicit node stack in a
+  ``lax.while_loop``, per-node beam forward passes at exact segment
+  lengths, BFS prunes as early-exit frontier-matvec ``while_loop``s,
+  and one readback of the node table at the end — the host only
+  flattens the tree in-order.  (Round 4's host-driven level scheduler,
+  kept under ``engine="host"`` for differential testing, paid a ~25 ms
+  tunnel sync per tree level and lost to single-core C at small K.)
+* **The reference's sequential candidate semantics** (beam-ordered
+  source iteration with strictly-greater improvement, the stale-median
+  no-write quirk, median inheritance from the source's path) collapse
+  to dense vector ops via the record-point argument — see
+  :func:`_vec_step`; the j=1 all-sources step further reduces to a
+  plain first-occurrence argmax (fresh carry: every record writes).
 * **b-hop neighborhood counts** (the preprocessing of ``calc`` :656-672)
   are K simultaneous BFS frontier advances as dense matmuls on device.
-* **The host drives only the recursion** — it reads back the split point
-  (x_a, x_b, N_left) per node, prunes the state set with a vectorized
-  numpy BFS (``_reach``, sieve_beam_search.py:504-546), and recurses —
-  mirroring the reference's own inherently sequential control flow.
 * Per-dest *active token sets* (the beam snapshot attached to a median,
   :465-484) collapse to one invariant: the set attached to state h is
   always the beam recorded after step ``med_n[h]`` — so a (T, K) beam

@@ -13,10 +13,17 @@ recurses.
 
 TPU decomposition (same shape as ``algorithms.sieve_bs``):
 
-* **All trellis math on device.**  Each recursion node's forward pass is
-  one jitted dense masked scan (auto-memoized per segment length): the
-  median carry ``(mx, my, mn, mval)`` is vectorized over all K
-  destinations; the sequential per-destination update of the original
+* **The ENTIRE recursion tree runs on device in one dispatch**
+  (:func:`_device_recursion_dyn`, ``engine="device"``, the default,
+  round 5): node stack in a ``lax.while_loop``, exact-length forward
+  passes, subgraph-restricted BFS prunes as early-exit frontier
+  matvecs, host-exact f32 subset-uniform priors from a log table, one
+  readback at the end.  Round 4's host-driven level scheduler (kept
+  under ``engine="host"``) paid a ~25 ms tunnel sync per level across
+  serial-chain trees — 19.45 s at the dyn512 fixture vs 0.41 s now.
+* Each node's forward pass is a dense masked scan: the median carry
+  ``(mx, my, mn, mval)`` is vectorized over all K destinations; the
+  sequential per-destination update of the original
   (``Viterbi.py:602-636``) depends only on the argmax predecessor, so a
   dense masked argmax with lowest-active-index tie-breaking reproduces it
   exactly (including the all-(-inf) case, where ``np.argmax`` over the
@@ -28,9 +35,6 @@ TPU decomposition (same shape as ``algorithms.sieve_bs``):
   hops (the topological accumulation of ``:850-988`` equals BFS
   reachability counting on a DAG — and BFS also terminates on cyclic
   inputs where the reference's topological sweep would spin).
-* **The host drives only the recursion** — split points are runtime data,
-  mirroring the reference's inherently sequential control flow; child
-  state sets come from a host BFS restricted to the parent's subset.
 
 Reference quirks kept: subproblem priors are uniform over the *active
 subset* unless an ``initial_state`` is forced (a module-level mutable in
