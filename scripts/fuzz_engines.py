@@ -77,6 +77,11 @@ for i in range(N_ROUNDS):
                 assert many[s] == one, f"batched!=single at seq {s}"
         print(f"[{i}] ok K={K} T={T} M={M} prob={prob} dag={dag} bw={bw}",
               flush=True)
+        if i % 8 == 7:
+            # every fixture shape compiles fresh engine programs; without
+            # this the CPU jit cache grows until LLVM OOMs the host
+            # (~33 distinct shapes in one process, observed round 5)
+            jax.clear_caches()
     except AssertionError as e:
         failures.append((i, K, T, M, prob, seed, dag, bw, str(e)))
         print(f"[{i}] FAIL {e} K={K} T={T} M={M} prob={prob} seed={seed} "
